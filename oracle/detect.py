@@ -15,32 +15,57 @@ from __future__ import annotations
 import numpy as np
 
 
+def nms_mask(scores: np.ndarray, radius: int) -> np.ndarray:
+    """Windowed local-max non-max suppression mask.
+
+    keep[t]  <=>  s[t] >  max(s[t-radius .. t-1])   (strictly beats earlier)
+             and  s[t] >= max(s[t+1 .. t+radius])   (ties go to the earliest)
+
+    This formulation is deterministic, order-independent, and
+    expressible as two one-sided sliding-window maxima -- i.e. exactly
+    computable both here and as a fused ``lax.reduce_window`` pass on
+    TPU, which is why it is the framework's NMS definition (greedy
+    sequential NMS does not vectorize).  On the integer scoring path
+    the mask is bit-identical across implementations.
+    """
+    scores = np.asarray(scores)
+    n = len(scores)
+    neg = np.float64(-np.inf)
+    left = np.full(n, neg)
+    right = np.full(n, neg)
+    for t in range(n):
+        lo = max(0, t - radius)
+        if lo < t:
+            left[t] = scores[lo:t].max()
+        hi = min(n, t + radius + 1)
+        if t + 1 < hi:
+            right[t] = scores[t + 1 : hi].max()
+    return (scores > left) & (scores >= right)
+
+
 def nms_peaks(
     scores: np.ndarray,
     radius: int,
     min_score: float | int | None = None,
     max_peaks: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Greedy non-max suppression over a 1-D score curve.
+    """Non-max suppression over a 1-D score curve (see ``nms_mask``).
 
-    Candidates are sorted by (score desc, time asc); a candidate is
-    kept if no kept peak lies within ``radius`` frames.  Returns
-    (times int64, scores) ordered by score desc then time asc.
+    Returns (times int64, scores) ordered by score desc then time asc,
+    optionally thresholded at ``min_score`` and capped at
+    ``max_peaks``.
     """
     scores = np.asarray(scores)
-    order = np.lexsort((np.arange(len(scores)), -scores))
-    kept_t: list[int] = []
-    kept_s: list[float] = []
-    for idx in order:
-        s = scores[idx]
-        if min_score is not None and s < min_score:
-            break
-        if all(abs(idx - t) > radius for t in kept_t):
-            kept_t.append(int(idx))
-            kept_s.append(s)
-            if max_peaks is not None and len(kept_t) >= max_peaks:
-                break
-    return np.asarray(kept_t, dtype=np.int64), np.asarray(kept_s, dtype=scores.dtype)
+    keep = nms_mask(scores, radius)
+    if min_score is not None:
+        keep &= scores >= min_score
+    times = np.nonzero(keep)[0]
+    s = scores[times]
+    order = np.lexsort((times, -s))
+    times, s = times[order], s[order]
+    if max_peaks is not None:
+        times, s = times[:max_peaks], s[:max_peaks]
+    return times.astype(np.int64), s
 
 
 def bank_nms(

@@ -180,7 +180,9 @@ def quantile_threshold(responses: np.ndarray, quantile: float) -> np.ndarray:
     t, f, c = responses.shape
     flat = responses.reshape(t * f, c)
     n = flat.shape[0]
-    k = min(n - 1, int(np.floor(quantile * n)))
+    # k in float32 on every implementation (CPU and TPU) so the index
+    # itself cannot diverge by rounding width.
+    k = min(n - 1, int(np.floor(np.float32(quantile) * np.float32(n))))
     part = np.partition(flat, k, axis=0)
     return part[k, :].astype(np.float32)
 

@@ -36,7 +36,8 @@ def register_exemplars(
         template_length = int(np.median(lengths))
     out = np.zeros((len(exemplars), template_length) + exemplars[0].shape[1:], dtype=bool)
     for n, ex in enumerate(exemplars):
-        src = np.floor(np.arange(template_length) * (ex.shape[0] / template_length)).astype(np.int64)
+        # Integer arithmetic: src_row(i) = floor(i * L_i / L_target).
+        src = (np.arange(template_length, dtype=np.int64) * ex.shape[0]) // template_length
         src = np.minimum(src, ex.shape[0] - 1)
         out[n] = ex[src]
     return out

@@ -1,0 +1,112 @@
+"""Banded DTW with wavefront (anti-diagonal) parallelism.
+
+Config 4 (BASELINE.json:10): DTW-aligned template matching with
+warping-band constraints.  The DP
+
+    D[i, j] = cost[i, j] + min(D[i-1, j], D[i, j-1], D[i-1, j-1])
+
+is evaluated along anti-diagonals k = i + j: every cell of a diagonal
+depends only on the two previous diagonals, so each ``lax.scan`` step
+updates a whole length-L vector on the VPU (SURVEY.md section 3.3
+"wavefront-parallelizable"; the Pallas kernel in
+``ops.dtw_pallas`` runs the same recurrence batched).  The band test
+is pure integer arithmetic, shared bit-for-bit with
+``oracle.dtw.band_mask``:
+
+    |j*(L-1) - i*(M-1)| <= band * (L-1),  with M the *valid* segment
+    length (padding-aware).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_INF = jnp.float32(jnp.inf)
+_PRECISION = lax.Precision.HIGHEST
+
+
+@functools.partial(jax.jit, static_argnames=("band",))
+def banded_dtw(cost: jnp.ndarray, seg_len: jnp.ndarray, band: int) -> jnp.ndarray:
+    """Accumulate the banded DP over cost [L, M_pad]; returns
+    D[L-1, seg_len-1] (float32).  Cells outside the band or beyond
+    seg_len are +inf."""
+    num_rows, m_pad = cost.shape
+    seg_len = seg_len.astype(jnp.int32)
+    i = jnp.arange(num_rows, dtype=jnp.int32)                      # [L]
+    lm1 = jnp.int32(max(num_rows - 1, 1))
+    mm1 = jnp.maximum(seg_len - 1, 1)
+    flat = cost.reshape(-1)
+
+    def step(carry, k):
+        prev, prev2 = carry                                        # diag k-1, k-2
+        j = k - i                                                  # [L]
+        in_rect = (j >= 0) & (j < seg_len)
+        in_band = jnp.abs(j * lm1 - i * mm1) <= jnp.int32(band) * lm1
+        valid = in_rect & in_band
+        cost_d = jnp.take(flat, jnp.clip(i * m_pad + j, 0, num_rows * m_pad - 1))
+        prev_up = jnp.concatenate([jnp.full((1,), _INF), prev[:-1]])    # D[i-1, j]
+        prev2_up = jnp.concatenate([jnp.full((1,), _INF), prev2[:-1]])  # D[i-1, j-1]
+        best = jnp.minimum(jnp.minimum(prev_up, prev), prev2_up)
+        best = jnp.where((i == 0) & (j == 0), jnp.float32(0.0), best)
+        diag = jnp.where(valid, cost_d + best, _INF)
+        return (diag, prev), diag
+
+    init = (jnp.full((num_rows,), _INF), jnp.full((num_rows,), _INF))
+    ks = jnp.arange(num_rows + m_pad - 1, dtype=jnp.int32)
+    (_, _), diags = lax.scan(step, init, ks)
+    # D[L-1, seg_len-1] lives on diagonal k = L-1 + seg_len-1, row L-1.
+    return diags[num_rows - 1 + seg_len - 1, num_rows - 1]
+
+
+def frame_llr_matrix(
+    segment: jnp.ndarray,
+    w: jnp.ndarray,
+    c_rows: jnp.ndarray,
+    precision: lax.Precision = _PRECISION,
+) -> jnp.ndarray:
+    """segment [M, F, E], W [L, F, E], c_rows [L] -> LLR [L, M] (GEMM)."""
+    seg = segment.reshape(segment.shape[0], -1).astype(jnp.float32)
+    wf = w.reshape(w.shape[0], -1)
+    return jnp.matmul(wf, seg.T, precision=precision) + c_rows[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=("band",))
+def dtw_keyword_score(
+    segment: jnp.ndarray,
+    seg_len: jnp.ndarray,
+    w: jnp.ndarray,
+    c_rows: jnp.ndarray,
+    band: int,
+) -> jnp.ndarray:
+    """DTW match score of one (padded) segment; higher = better.
+
+    score = -D[L-1, M-1] / (L + M), cost = -frame LLR
+    (oracle: ``oracle.dtw.dtw_keyword_score``).
+    """
+    llr = frame_llr_matrix(segment, w, c_rows)
+    total = banded_dtw(-llr, seg_len, band)
+    num_rows = w.shape[0]
+    return -total / (num_rows + seg_len).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("band",))
+def dtw_keyword_scores_batch(
+    segments: jnp.ndarray,
+    seg_lens: jnp.ndarray,
+    w: jnp.ndarray,
+    c_rows: jnp.ndarray,
+    band: int,
+) -> jnp.ndarray:
+    """[B, M_pad, F, E] x [K, L, F, E] -> scores [B, K] (double vmap)."""
+
+    def one(seg, ln):
+        def per_template(wk, ck):
+            return dtw_keyword_score.__wrapped__(seg, ln, wk, ck, band)
+
+        return jax.vmap(per_template)(w, c_rows)
+
+    return jax.vmap(one)(segments, seg_lens)

@@ -1,0 +1,142 @@
+"""Config system: one frozen dataclass tree, JSON-serializable.
+
+The reference hardcoded constants inside each experiment script
+(SURVEY.md section 5 "Config / flag system" -- its single biggest
+usability gap).  Here every magic number is a named field; CLI entry
+points parse overrides (see ``cli.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    """Mirrors ``oracle.frontend.FrontendParams`` field-for-field."""
+
+    sample_rate: int = 16000
+    frame_length: int = 400        # 25 ms at 16 kHz
+    hop_length: int = 160          # 10 ms
+    nfft: int = 512
+    preemphasis: float = 0.95
+    use_mel: bool = False
+    n_mels: int = 64
+    edge_quantile: float = 0.98
+    spread_time: int = 1
+    spread_freq: int = 1
+
+    @property
+    def num_bins(self) -> int:
+        return self.n_mels if self.use_mel else self.nfft // 2 + 1
+
+    @property
+    def feature_freqs(self) -> int:
+        """Frequency extent of the edge-feature map (bins - 1)."""
+        return self.num_bins - 1
+
+    @property
+    def num_edge_channels(self) -> int:
+        return 8
+
+    def num_frames(self, num_samples: int) -> int:
+        return 1 + (num_samples - self.frame_length) // self.hop_length
+
+    def num_feature_frames(self, num_samples: int) -> int:
+        """Time extent of the edge map (frames - 1)."""
+        return self.num_frames(num_samples) - 1
+
+
+@dataclasses.dataclass(frozen=True)
+class TemplateConfig:
+    prob_clip_eps: float = 0.01    # clip Bernoulli probs to [eps, 1-eps]
+    num_components: int = 1        # mixture components per class
+    em_max_iters: int = 50
+    em_tol: float = 1e-4
+    em_seed: int = 0
+    template_length: int | None = None  # None -> median exemplar length
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectConfig:
+    nms_radius: int = 10           # frames
+    match_tolerance: int = 10      # frames
+    min_score: float = float("-inf")
+    top_k: int = 64                # per-utterance detection budget
+    quant_scale: int = 256         # fixed-point scale for bit-parity path
+    time_block: int = 512          # frames per scoring block
+
+
+@dataclasses.dataclass(frozen=True)
+class DTWConfig:
+    band: int = 6                  # Sakoe-Chiba-style band half-width
+    max_segment_frames: int = 128
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Logical mesh axes (SURVEY.md section 2c).
+
+    data: utterance batches (DP).  bank: template bank / mixture
+    components (TP/EP).  time: long-audio frame axis (SP/CP).
+    Axis size 1 disables an axis.
+    """
+
+    data: int = 1
+    bank: int = 1
+    time: int = 1
+
+    @property
+    def num_devices(self) -> int:
+        return self.data * self.bank * self.time
+
+    @property
+    def axis_names(self) -> tuple[str, str, str]:
+        return ("data", "bank", "time")
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    frontend: FrontendConfig = dataclasses.field(default_factory=FrontendConfig)
+    template: TemplateConfig = dataclasses.field(default_factory=TemplateConfig)
+    detect: DetectConfig = dataclasses.field(default_factory=DetectConfig)
+    dtw: DTWConfig = dataclasses.field(default_factory=DTWConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+
+def _to_dict(cfg: Any) -> Any:
+    if dataclasses.is_dataclass(cfg):
+        return {f.name: _to_dict(getattr(cfg, f.name)) for f in dataclasses.fields(cfg)}
+    return cfg
+
+
+def to_json(cfg: Any) -> str:
+    return json.dumps(_to_dict(cfg), indent=2)
+
+
+_SECTIONS = {
+    "frontend": FrontendConfig,
+    "template": TemplateConfig,
+    "detect": DetectConfig,
+    "dtw": DTWConfig,
+    "mesh": MeshConfig,
+}
+
+
+def pipeline_from_dict(d: dict[str, Any]) -> PipelineConfig:
+    kwargs = {}
+    for name, cls in _SECTIONS.items():
+        if name in d:
+            kwargs[name] = cls(**d[name])
+    return PipelineConfig(**kwargs)
+
+
+def from_json(text: str) -> PipelineConfig:
+    return pipeline_from_dict(json.loads(text))
+
+
+def override(cfg, **updates):
+    """Functional field update for any config dataclass."""
+    return dataclasses.replace(cfg, **updates)

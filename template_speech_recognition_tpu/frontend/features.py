@@ -1,0 +1,86 @@
+"""The front end: waveform -> binary oriented-edge feature map.
+
+Composition of the ops in ``ops/{framing, dft, edges}`` (SURVEY.md
+section 3.4); jit-compiled with static shapes.  Callers pad waveforms
+to bucket lengths and pass valid sample counts; outputs carry a valid
+feature-frame count.
+
+Parity contract vs ``oracle.frontend.frontend``: identical arithmetic
+modulo GEMM summation order -> spectrograms allclose; binary maps
+agree except at cells whose response ties the threshold within float
+tolerance (tested at >= 99.9% agreement, SURVEY.md section 4 item 2).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from template_speech_recognition_tpu.config import FrontendConfig
+from template_speech_recognition_tpu.ops import dft, edges, framing
+
+
+class FeatureMap(NamedTuple):
+    """Padded binary edge map plus its valid time extent."""
+
+    binary: jnp.ndarray        # [T', F', 8] bool (padded rows False)
+    valid_frames: jnp.ndarray  # scalar int32: rows < valid are real
+
+
+def spectrogram(
+    waveform: jnp.ndarray,
+    cfg: FrontendConfig,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """[S] (padded) -> [T, num_bins] float32 log-(mel-)spectrogram."""
+    y = framing.preemphasize(waveform, cfg.preemphasis)
+    frames = framing.frame_signal(y, cfg.frame_length, cfg.hop_length)
+    frames = frames * framing.hamming_window(cfg.frame_length)[None, :]
+    if cfg.use_mel:
+        return dft.log_mel_spectrogram(
+            frames, cfg.nfft, cfg.sample_rate, cfg.n_mels, precision=precision
+        )
+    return dft.log_magnitude_spectrogram(frames, cfg.nfft, precision=precision)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "precision"))
+def frontend(
+    waveform: jnp.ndarray,
+    num_valid_samples: jnp.ndarray,
+    cfg: FrontendConfig,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+) -> FeatureMap:
+    """Padded waveform [S] + valid count -> FeatureMap.
+
+    The quantile threshold is computed over valid cells only, so the
+    result for the valid region is independent of bucket padding
+    (property-tested: score invariance under padding, SURVEY.md
+    section 4 item 3).
+    """
+    spec = spectrogram(waveform, cfg, precision=precision)
+    resp = edges.edge_responses(spec)
+    # Feature rows = num_frames(valid) - 1 = (valid - frame_length)//hop.
+    valid_frames = jnp.where(
+        num_valid_samples >= cfg.frame_length,
+        (num_valid_samples - cfg.frame_length) // cfg.hop_length,
+        0,
+    ).astype(jnp.int32)
+    binary = edges.binarize(resp, cfg.edge_quantile, valid_frames)
+    binary = edges.spread_binary(binary, cfg.spread_time, cfg.spread_freq)
+    binary = edges.mask_rows(binary, valid_frames)
+    return FeatureMap(binary, valid_frames)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "precision"))
+def frontend_batch(
+    waveforms: jnp.ndarray,
+    num_valid_samples: jnp.ndarray,
+    cfg: FrontendConfig,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+) -> FeatureMap:
+    """[B, S] + [B] -> FeatureMap with leading batch axis (vmap)."""
+    fn = functools.partial(frontend.__wrapped__, cfg=cfg, precision=precision)
+    return jax.vmap(fn)(waveforms, num_valid_samples)

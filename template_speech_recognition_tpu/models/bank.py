@@ -1,0 +1,89 @@
+"""Template bank container (SURVEY.md sections 2c, 3.2).
+
+A bank stacks K Bernoulli templates of a common registered length into
+one [K, L, F, E] tensor -- the natural unit for batched MXU scoring
+and for sharding the bank axis across chips (config 5,
+BASELINE.json:11).  Labels map each template back to its class (a
+class contributes one template per mixture component).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class TemplateBank:
+    templates: jnp.ndarray          # [K, L, F, E] float32 in (0, 1)
+    background: jnp.ndarray         # [F, E] float32 in (0, 1)
+    labels: list[str]               # len K, class name per template
+
+    @property
+    def num_templates(self) -> int:
+        return int(self.templates.shape[0])
+
+    @property
+    def template_length(self) -> int:
+        return int(self.templates.shape[1])
+
+    @classmethod
+    def from_classes(
+        cls,
+        class_templates: dict[str, np.ndarray | jnp.ndarray],
+        background: np.ndarray | jnp.ndarray,
+    ) -> "TemplateBank":
+        """class name -> [L,F,E] or [C,L,F,E]; classes sorted by name."""
+        tpls, labels = [], []
+        for name in sorted(class_templates):
+            t = jnp.asarray(class_templates[name], dtype=jnp.float32)
+            if t.ndim == 3:
+                t = t[None]
+            for comp in t:
+                tpls.append(comp)
+                labels.append(name)
+        return cls(jnp.stack(tpls), jnp.asarray(background, dtype=jnp.float32), labels)
+
+    def llr(self) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """(W [K, L, F, E], c [K]) float32 -- SURVEY.md section 3.2."""
+        p = self.templates
+        q = self.background
+        w = (jnp.log(p) - jnp.log1p(-p)) - (jnp.log(q) - jnp.log1p(-q))
+        c = jnp.sum(jnp.log1p(-p) - jnp.log1p(-q), axis=(1, 2, 3))
+        return w, c
+
+    def llr_rows(self) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """(W [K, L, F, E], c_rows [K, L]) -- per-row offsets for DTW."""
+        p = self.templates
+        q = self.background
+        w = (jnp.log(p) - jnp.log1p(-p)) - (jnp.log(q) - jnp.log1p(-q))
+        c_rows = jnp.sum(jnp.log1p(-p) - jnp.log1p(-q), axis=(2, 3))
+        return w, c_rows
+
+    def llr_quantized(self, scale: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Fixed-point (W int32, c int32) for the bit-parity path."""
+        w, c = self.llr()
+        return (
+            jnp.round(w * scale).astype(jnp.int32),
+            jnp.round(c * scale).astype(jnp.int32),
+        )
+
+    def save(self, path: str) -> None:
+        np.savez(
+            path,
+            templates=np.asarray(self.templates),
+            background=np.asarray(self.background),
+            labels=json.dumps(self.labels),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "TemplateBank":
+        z = np.load(path, allow_pickle=False)
+        return cls(
+            jnp.asarray(z["templates"]),
+            jnp.asarray(z["background"]),
+            json.loads(str(z["labels"])),
+        )
