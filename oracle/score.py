@@ -98,9 +98,10 @@ def sliding_score_int(feats: np.ndarray, w_int: np.ndarray, c_int: np.ndarray) -
     acc = xf.astype(np.int64) @ wk.astype(np.int64).T          # [T', K]
     out = acc.T + c_int[:, None].astype(np.int64)
     # Wrap to int32 (reinterpret the low 32 bits) = modular semantics.
-    return np.ascontiguousarray(
+    scores = np.ascontiguousarray(
         (out & np.int64(0xFFFFFFFF)).astype(np.uint32)
     ).view(np.int32).reshape(k, tprime)
+    return scores[0] if single else scores
 
 
 def score_utterance(

@@ -1,0 +1,18 @@
+from template_speech_recognition_tpu.parallel.mesh import build_mesh, local_mesh
+from template_speech_recognition_tpu.parallel.score_sharded import (
+    sharded_bank_scores,
+    padded_scores_reference,
+)
+from template_speech_recognition_tpu.parallel.em_sharded import (
+    sharded_bernoulli_mixture_em,
+)
+from template_speech_recognition_tpu.parallel.topk_merge import merge_topk
+
+__all__ = [
+    "build_mesh",
+    "local_mesh",
+    "sharded_bank_scores",
+    "padded_scores_reference",
+    "sharded_bernoulli_mixture_em",
+    "merge_topk",
+]

@@ -1,0 +1,240 @@
+"""End-to-end pipelines: train a bank, detect keywords, evaluate.
+
+The reference's per-experiment glue (SURVEY.md section 3) rebuilt as
+three reusable functions over an abstract corpus:
+
+* ``train_bank``       -- config 3 (exemplars -> registered stack ->
+                          template or mixture EM -> bank + background)
+* ``detect_corpus``    -- configs 1-2 (frontend -> batched LLR scores
+                          -> NMS -> fixed top-K -> host detections)
+* ``evaluate_detections`` -- ROC / EER vs labeled occurrences
+
+Static-shape discipline: waveforms pad to power-of-two-ish buckets so
+jit caches a handful of shapes (SURVEY.md section 7 Stage 1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, Protocol
+
+import jax.numpy as jnp
+import numpy as np
+
+from template_speech_recognition_tpu.config import PipelineConfig
+from template_speech_recognition_tpu.detect import (
+    evaluate as ev,
+)
+from template_speech_recognition_tpu.detect.nms import top_detections
+from template_speech_recognition_tpu.detect.scorer import masked_scores, sliding_scores
+from template_speech_recognition_tpu.frontend import frontend as run_frontend
+from template_speech_recognition_tpu.models import (
+    TemplateBank,
+    bernoulli_mixture_em,
+    estimate_background,
+    estimate_template,
+    register_exemplars,
+)
+
+
+class CorpusLike(Protocol):
+    """Minimal corpus interface shared by the TIMIT reader and the
+    synthetic in-memory corpus (``adapt_corpus`` builds one)."""
+
+    sample_rate: int
+
+    def iter_utterances(self) -> Iterable[tuple[str, np.ndarray, list[tuple[str, int, int]]]]:
+        ...
+
+    def exemplar_clips(self, phone: str) -> list[np.ndarray]:
+        ...
+
+    def background_clips(self, phone: str) -> list[np.ndarray]:
+        ...
+
+
+@dataclasses.dataclass
+class SyntheticAdapter:
+    corpus: object  # oracle.fixtures.SyntheticCorpus
+
+    @property
+    def sample_rate(self) -> int:
+        return self.corpus.sample_rate
+
+    def iter_utterances(self):
+        for utt in self.corpus.utterances:
+            yield utt.utt_id, utt.waveform, list(utt.phones)
+
+    def exemplar_clips(self, phone):
+        return self.corpus.exemplar_clips(phone)
+
+    def background_clips(self, phone):
+        return self.corpus.background_clips(phone)
+
+
+@dataclasses.dataclass
+class TimitAdapter:
+    corpus: object  # io.corpus.TimitCorpus
+    split: str | None = None
+    sample_rate: int = 16000
+
+    def iter_utterances(self):
+        recs = self.corpus.split(self.split) if self.split else self.corpus.records
+        for rec in recs:
+            wav, sr = self.corpus.load_waveform(rec)
+            self.sample_rate = sr
+            phones = [
+                (s.phone, s.start_sample, s.end_sample)
+                for s in self.corpus.load_phones(rec)
+            ]
+            yield rec.utt_id, wav, phones
+
+    def exemplar_clips(self, phone):
+        return self.corpus.exemplar_clips(phone, self.split)
+
+    def background_clips(self, phone):
+        return self.corpus.background_clips(phone, self.split)
+
+
+def bucket_length(n: int, quantum: int = 16384) -> int:
+    """Round up to the bucket grid so jit sees few distinct shapes."""
+    return max(quantum, ((n + quantum - 1) // quantum) * quantum)
+
+
+def _clip_feature_maps(clips, cfg: PipelineConfig):
+    """Frontend over variable-length clips -> (padded stack, lengths)."""
+    fcfg = cfg.frontend
+    min_len = fcfg.frame_length + fcfg.hop_length  # >= 1 feature frame
+    usable = [c for c in clips if len(c) >= min_len]
+    if not usable:
+        raise ValueError("no usable clips (all shorter than one frame)")
+    maps, lengths = [], []
+    for c in usable:
+        pad = bucket_length(len(c), quantum=4096)
+        buf = np.zeros(pad, np.float32)
+        buf[: len(c)] = c
+        fm = run_frontend(jnp.asarray(buf), jnp.int32(len(c)), fcfg)
+        vf = int(fm.valid_frames)
+        if vf < 1:
+            continue
+        maps.append(np.asarray(fm.binary)[:vf])
+        lengths.append(vf)
+    return maps, np.asarray(lengths, np.int64)
+
+
+def train_bank(
+    corpus: CorpusLike,
+    phones: list[str],
+    cfg: PipelineConfig,
+) -> TemplateBank:
+    """Config 3: train per-phone Bernoulli templates (optionally a
+    mixture per phone) plus a shared background model."""
+    from oracle.mixture import init_responsibilities  # deterministic shared init
+
+    tcfg = cfg.template
+    class_templates: dict[str, np.ndarray] = {}
+    all_bg_maps: list[np.ndarray] = []
+    for phone in phones:
+        maps, lengths = _clip_feature_maps(corpus.exemplar_clips(phone), cfg)
+        target_len = tcfg.template_length or int(np.median(lengths))
+        l_max = int(lengths.max())
+        stack_np = np.zeros((len(maps), l_max) + maps[0].shape[1:], dtype=bool)
+        for i, m in enumerate(maps):
+            stack_np[i, : m.shape[0]] = m
+        stack = register_exemplars(
+            jnp.asarray(stack_np), jnp.asarray(lengths), target_len
+        )
+        if tcfg.num_components <= 1:
+            tpl = estimate_template(stack, tcfg.prob_clip_eps)
+            class_templates[phone] = np.asarray(tpl)
+        else:
+            n = stack.shape[0]
+            x = jnp.reshape(stack.astype(jnp.float32), (n, -1))
+            resp = jnp.asarray(
+                init_responsibilities(n, tcfg.num_components, tcfg.em_seed)
+            )
+            state = bernoulli_mixture_em(
+                x, resp, num_iters=tcfg.em_max_iters,
+                eps=tcfg.prob_clip_eps, tol=tcfg.em_tol,
+            )
+            shape = (tcfg.num_components, target_len) + maps[0].shape[1:]
+            class_templates[phone] = np.asarray(state.means).reshape(shape)
+
+    bg_maps, bg_lengths = _clip_feature_maps(
+        corpus.background_clips(phones[0]), cfg
+    )
+    t_max = max(m.shape[0] for m in bg_maps)
+    bg_stack = np.zeros((len(bg_maps), t_max) + bg_maps[0].shape[1:], dtype=bool)
+    for i, m in enumerate(bg_maps):
+        bg_stack[i, : m.shape[0]] = m
+    background = estimate_background(
+        jnp.asarray(bg_stack), jnp.asarray(bg_lengths), cfg.template.prob_clip_eps
+    )
+    return TemplateBank.from_classes(class_templates, background)
+
+
+@dataclasses.dataclass
+class CorpusDetections:
+    detections: ev.DetectionSet
+    labels_per_utterance: list[np.ndarray]   # frame-index starts
+    audio_seconds: float
+    utt_ids: list[str]
+
+
+def detect_corpus(
+    corpus: CorpusLike,
+    bank: TemplateBank,
+    cfg: PipelineConfig,
+    target_phone: str | None = None,
+) -> CorpusDetections:
+    """Configs 1-2: scan every utterance with the bank; fixed top-K
+    detections per utterance; collect labels for ``target_phone``."""
+    fcfg, dcfg = cfg.frontend, cfg.detect
+    w, c = bank.llr()
+    per_utt, labels, utt_ids = [], [], []
+    total_samples = 0
+    for utt_id, wav, phones in corpus.iter_utterances():
+        total_samples += len(wav)
+        pad = bucket_length(len(wav))
+        buf = np.zeros(pad, np.float32)
+        buf[: len(wav)] = wav
+        fm = run_frontend(jnp.asarray(buf), jnp.int32(len(wav)), fcfg)
+        scores = sliding_scores(fm.binary, w, c)
+        scores = masked_scores(scores, fm.valid_frames, bank.template_length)
+        s, t, k = top_detections(scores, dcfg.nms_radius, dcfg.top_k)
+        per_utt.append((np.asarray(s), np.asarray(t), np.asarray(k)))
+        if target_phone is not None:
+            labels.append(
+                np.asarray(
+                    [s0 // fcfg.hop_length for (ph, s0, _e) in phones if ph == target_phone],
+                    dtype=np.int64,
+                )
+            )
+        else:
+            labels.append(np.zeros(0, np.int64))
+        utt_ids.append(utt_id)
+    dets = ev.DetectionSet.from_per_utterance(per_utt)
+    return CorpusDetections(
+        dets, labels, total_samples / corpus.sample_rate, utt_ids
+    )
+
+
+def evaluate_detections(
+    result: CorpusDetections, tolerance: int
+) -> dict[str, float | np.ndarray]:
+    """ROC / EER over a corpus scan (host-side)."""
+    is_tp, num_labels = ev.match_detection_set(
+        result.detections, result.labels_per_utterance, tolerance
+    )
+    thr, tpr, fps = ev.roc_curve(
+        result.detections.scores, is_tp, num_labels, result.audio_seconds
+    )
+    return {
+        "num_detections": float(len(result.detections.scores)),
+        "num_labels": float(num_labels),
+        "thresholds": thr,
+        "tpr": tpr,
+        "fp_per_sec": fps,
+        "eer": ev.eer(tpr, fps),
+        "best_tpr": float(tpr.max()) if len(tpr) else 0.0,
+    }

@@ -1,0 +1,4 @@
+from template_speech_recognition_tpu.utils.metrics import StageCounters
+from template_speech_recognition_tpu.utils.profiling import profile_trace, named_scope
+
+__all__ = ["StageCounters", "profile_trace", "named_scope"]

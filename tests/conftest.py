@@ -1,0 +1,38 @@
+"""Test harness config.
+
+* Forces the CPU backend with 8 fake devices
+  (``--xla_force_host_platform_device_count=8``) so mesh/sharding/
+  collective logic runs without a pod (SURVEY.md section 4 item 4).
+  Env vars are set here, before any test module imports jax.
+* This machine's sitecustomize loads the axon TPU PJRT plugin into
+  every process; its teardown blocks interpreter exit for minutes
+  after any jit has run.  ``pytest_sessionfinish`` therefore arranges
+  a hard (but flushed) ``os._exit`` with the correct status code.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+
+def pytest_sessionfinish(session, exitstatus):
+    import atexit
+
+    def _hard_exit():
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(int(exitstatus))
+
+    atexit.register(_hard_exit)

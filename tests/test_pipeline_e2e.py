@@ -1,0 +1,59 @@
+"""End-to-end integration: train -> detect -> evaluate on the synthetic
+corpus (SURVEY.md section 4 item 5; configs 1-3)."""
+
+import numpy as np
+import pytest
+
+import oracle as O
+from template_speech_recognition_tpu.config import (
+    DetectConfig,
+    PipelineConfig,
+    TemplateConfig,
+)
+from template_speech_recognition_tpu.pipeline import (
+    SyntheticAdapter,
+    detect_corpus,
+    evaluate_detections,
+    train_bank,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return SyntheticAdapter(
+        O.make_synthetic_corpus(num_utterances=6, phones_per_utterance=6, seed=11)
+    )
+
+
+def test_single_template_end_to_end(corpus):
+    cfg = PipelineConfig()
+    bank = train_bank(corpus, ["aa"], cfg)
+    assert bank.num_templates == 1
+    result = detect_corpus(corpus, bank, cfg, target_phone="aa")
+    metrics = evaluate_detections(result, cfg.detect.match_tolerance)
+    assert metrics["num_labels"] > 0
+    assert metrics["num_detections"] > 0
+    # The detector must actually find the phone: the synthetic corpus is
+    # easy, so demand good recall at the best threshold and a sane EER.
+    assert metrics["best_tpr"] >= 0.7, metrics
+    assert metrics["eer"] <= 0.5, metrics
+
+
+def test_mixture_bank_end_to_end(corpus):
+    cfg = PipelineConfig(template=TemplateConfig(num_components=2, em_max_iters=15))
+    bank = train_bank(corpus, ["aa", "iy"], cfg)
+    assert bank.num_templates == 4
+    assert bank.labels == ["aa", "aa", "iy", "iy"]
+    result = detect_corpus(corpus, bank, cfg, target_phone="aa")
+    metrics = evaluate_detections(result, cfg.detect.match_tolerance)
+    assert metrics["num_detections"] > 0
+    assert metrics["best_tpr"] >= 0.5, metrics
+
+
+def test_detections_deterministic(corpus):
+    cfg = PipelineConfig(detect=DetectConfig(top_k=16))
+    bank = train_bank(corpus, ["iy"], cfg)
+    r1 = detect_corpus(corpus, bank, cfg, target_phone="iy")
+    r2 = detect_corpus(corpus, bank, cfg, target_phone="iy")
+    np.testing.assert_array_equal(r1.detections.scores, r2.detections.scores)
+    np.testing.assert_array_equal(r1.detections.times, r2.detections.times)
