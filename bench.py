@@ -1,0 +1,128 @@
+"""Benchmark: audio-seconds/s per chip for template-bank scoring.
+
+Primary metric (BASELINE.json:2): how many seconds of audio one chip
+scores per wall-clock second against a K-template bank, vs the CPU
+NumPy oracle on the same workload ("vs_baseline"; target >= 100x,
+BASELINE.json:5).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "audio_seconds_per_second",
+   "vs_baseline": N, ...extras}
+
+Workload: B utterances x T frames of binary edge features
+([T, F=256, E=8] -> D=2048 channels), K templates of length L.
+The TPU path runs the production configuration (bfloat16 inputs,
+float32 accumulation on the MXU); the CPU oracle runs
+``oracle.score.sliding_score`` (float32 BLAS) on a scaled-down slice,
+extrapolated linearly in (K * T * B) -- both are dense GEMM-shaped
+workloads, so linear extrapolation favors the CPU if anything (cache
+effects only hurt the larger run).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _measure_tpu(feats, w, c, iters=8):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from template_speech_recognition_tpu.detect.scorer import sliding_scores
+
+    fj = jnp.asarray(feats, dtype=jnp.bfloat16)
+    wj = jnp.asarray(w, dtype=jnp.bfloat16)
+    cj = jnp.asarray(c)
+
+    def score_all(fb, wb, cb):
+        out = jax.vmap(
+            lambda f: sliding_scores.__wrapped__(
+                f, wb, cb,
+                precision=lax.Precision.DEFAULT,
+                compute_dtype=jnp.bfloat16,
+            )
+        )(fb)
+        # Device-side scalar: forces real completion on readback.  On
+        # this PJRT, block_until_ready returns early -- timing MUST go
+        # through a host read of a value derived from the result.
+        return jnp.sum(out)
+
+    fn = jax.jit(score_all)
+    float(fn(fj, wj, cj))  # compile + warmup
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(fn(fj, wj, cj))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def _measure_cpu_oracle(feats, w, c, k_small=8, t_small=400, b_small=1):
+    from oracle.score import sliding_score
+
+    f_slice = feats[:b_small, :t_small].astype(np.float32)
+    w_slice = w[:k_small]
+    c_slice = c[:k_small]
+    # warmup
+    sliding_score(f_slice[0], w_slice, c_slice)
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        for b in range(b_small):
+            sliding_score(f_slice[b], w_slice, c_slice)
+    dt_small = (time.perf_counter() - t0) / reps
+    scale = (
+        (feats.shape[0] / b_small)
+        * (feats.shape[1] / t_small)
+        * (w.shape[0] / k_small)
+    )
+    return dt_small * scale
+
+
+def main() -> None:
+    b = int(os.environ.get("BENCH_B", 8))
+    t = int(os.environ.get("BENCH_T", 3000))          # 30 s of audio each
+    k = int(os.environ.get("BENCH_K", 1024))
+    length = int(os.environ.get("BENCH_L", 32))
+    f, e = 256, 8
+    hop_seconds = 0.010                               # 10 ms hop
+    audio_seconds = b * t * hop_seconds
+
+    rng = np.random.default_rng(0)
+    feats = (rng.random((b, t, f, e)) < 0.15).astype(np.float32)
+    w = rng.standard_normal((k, length, f, e)).astype(np.float32)
+    c = rng.standard_normal((k,)).astype(np.float32)
+
+    dt_tpu = _measure_tpu(feats, w, c)
+    tpu_throughput = audio_seconds / dt_tpu
+
+    dt_cpu = _measure_cpu_oracle(feats, w, c)
+    cpu_throughput = audio_seconds / dt_cpu
+
+    flops = 2.0 * b * t * k * length * f * e
+    result = {
+        "metric": "audio_seconds_per_s_per_chip_template_scoring",
+        "value": round(tpu_throughput, 1),
+        "unit": "audio_seconds_per_second",
+        "vs_baseline": round(tpu_throughput / cpu_throughput, 1),
+        "bank_k": k,
+        "template_len": length,
+        "batch_utts": b,
+        "frames_per_utt": t,
+        "tpu_step_ms": round(dt_tpu * 1e3, 2),
+        "tpu_tflops": round(flops / dt_tpu / 1e12, 1),
+        "cpu_oracle_audio_s_per_s": round(cpu_throughput, 2),
+    }
+    print(json.dumps(result))
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)  # axon PJRT teardown hangs the interpreter at exit
+
+
+if __name__ == "__main__":
+    main()
