@@ -29,11 +29,10 @@ import time
 import numpy as np
 
 
-def _measure_tpu(feats, w, c, iters=8):
+def _measure_tpu(feats, w, c, iters=8, backend="conv"):
     import jax
     import jax.numpy as jnp
-    from jax import lax
-    from template_speech_recognition_tpu.detect.scorer import sliding_scores
+    from template_speech_recognition_tpu.detect.scorer import sliding_scores_backend
 
     fj = jnp.asarray(feats, dtype=jnp.bfloat16)
     wj = jnp.asarray(w, dtype=jnp.bfloat16)
@@ -41,11 +40,7 @@ def _measure_tpu(feats, w, c, iters=8):
 
     def score_all(fb, wb, cb):
         out = jax.vmap(
-            lambda f: sliding_scores.__wrapped__(
-                f, wb, cb,
-                precision=lax.Precision.DEFAULT,
-                compute_dtype=jnp.bfloat16,
-            )
+            lambda f: sliding_scores_backend(f, wb, cb, backend=backend)
         )(fb)
         # Device-side scalar: forces real completion on readback.  On
         # this PJRT, block_until_ready returns early -- timing MUST go
@@ -98,7 +93,8 @@ def main() -> None:
     w = rng.standard_normal((k, length, f, e)).astype(np.float32)
     c = rng.standard_normal((k,)).astype(np.float32)
 
-    dt_tpu = _measure_tpu(feats, w, c)
+    backend = os.environ.get("BENCH_BACKEND", "conv")
+    dt_tpu = _measure_tpu(feats, w, c, backend=backend)
     tpu_throughput = audio_seconds / dt_tpu
 
     dt_cpu = _measure_cpu_oracle(feats, w, c)
@@ -117,6 +113,7 @@ def main() -> None:
         "tpu_step_ms": round(dt_tpu * 1e3, 2),
         "tpu_tflops": round(flops / dt_tpu / 1e12, 1),
         "cpu_oracle_audio_s_per_s": round(cpu_throughput, 2),
+        "backend": backend,
     }
     print(json.dumps(result))
     sys.stdout.flush()

@@ -90,6 +90,60 @@ def sliding_scores_int(
     return acc.T + c_int[:, None]
 
 
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def sliding_scores_backend(
+    feats: jnp.ndarray,
+    w: jnp.ndarray,
+    c: jnp.ndarray,
+    backend: str = "conv",
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+) -> jnp.ndarray:
+    """Backend-selectable scorer: feats [T',F,E], W [K,L,F,E], c [K]
+    -> [K, T'-L+1].
+
+    ``backend="conv"`` (production): XLA ``conv_general_dilated``.
+    ``backend="pallas"``: the hand-written MXU kernel in
+    ``ops.correlation_pallas`` -- pads (T, K, D) up to its block grid,
+    calls it, and slices the valid region.  Both return identical
+    layouts, so callers can switch via config/env without other code
+    changes.
+    """
+    if backend == "conv":
+        return sliding_scores(
+            feats, w, c,
+            precision=lax.Precision.DEFAULT
+            if compute_dtype == jnp.bfloat16
+            else lax.Precision.HIGHEST,
+            compute_dtype=compute_dtype,
+        )
+    if backend != "pallas":
+        raise ValueError(f"unknown scoring backend {backend!r}")
+    from template_speech_recognition_tpu.ops.correlation_pallas import (
+        correlation_scores_pallas,
+    )
+
+    t = feats.shape[0]
+    k, length = w.shape[0], w.shape[1]
+    d = w.shape[2] * w.shape[3]
+    block_t = max(128, _round_up(length - 1, 128))
+    block_d = 512 if jnp.dtype(compute_dtype).itemsize <= 2 else 256
+    t_pad = _round_up(t, block_t)
+    k_pad = _round_up(k, 128)
+    d_pad = _round_up(d, block_d)
+    f2 = jnp.zeros((t_pad, d_pad), compute_dtype)
+    f2 = f2.at[:t, :d].set(feats.reshape(t, d).astype(compute_dtype))
+    w2 = jnp.zeros((k_pad, length, d_pad), compute_dtype)
+    w2 = w2.at[:k, :, :d].set(w.reshape(k, length, d).astype(compute_dtype))
+    c2 = jnp.zeros((k_pad,), jnp.float32).at[:k].set(c.astype(jnp.float32))
+    out = correlation_scores_pallas(
+        f2, w2, c2, block_k=128, block_t=block_t, block_d=block_d
+    )
+    return out[:k, : t - length + 1]
+
+
 def masked_scores(
     scores: jnp.ndarray,
     valid_frames: jnp.ndarray,
