@@ -1,0 +1,266 @@
+"""CLI entry points: train / detect / evaluate / classify / bench.
+
+The reference had no CLI -- every experiment was a hardcoded script
+(SURVEY.md section 5 "Config / flag system").  Here one binary drives
+the pipelines of ``pipeline.py`` from a JSON config plus flag
+overrides:
+
+    python -m template_speech_recognition_tpu train \
+        --corpus synthetic --phones aa,iy --bank /tmp/bank
+    python -m template_speech_recognition_tpu detect \
+        --corpus synthetic --bank /tmp/bank --phone aa --out /tmp/dets
+    python -m template_speech_recognition_tpu evaluate \
+        --corpus synthetic --bank /tmp/bank --phone aa
+    python -m template_speech_recognition_tpu classify \
+        --corpus synthetic --bank /tmp/bank --phone aa [--dtw]
+    python -m template_speech_recognition_tpu bench
+
+``--corpus synthetic`` builds the deterministic in-memory fixture
+corpus; ``--corpus timit:<root>`` reads a TIMIT tree.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _build_corpus(spec: str, seed: int):
+    from template_speech_recognition_tpu.pipeline import (
+        SyntheticAdapter,
+        TimitAdapter,
+    )
+
+    if spec == "synthetic":
+        from oracle.fixtures import make_synthetic_corpus
+
+        return SyntheticAdapter(
+            make_synthetic_corpus(
+                num_utterances=6, phones_per_utterance=5, seed=seed
+            )
+        )
+    if spec.startswith("timit:"):
+        from template_speech_recognition_tpu.io.corpus import TimitCorpus
+
+        return TimitAdapter(TimitCorpus(spec.split(":", 1)[1]))
+    raise SystemExit(f"unknown corpus spec {spec!r} (synthetic | timit:<root>)")
+
+
+def _load_config(args):
+    from template_speech_recognition_tpu import config as C
+
+    if args.config:
+        with open(args.config) as f:
+            cfg = C.from_json(f.read())
+    else:
+        cfg = C.PipelineConfig()
+    if getattr(args, "components", None):
+        cfg = C.override(
+            cfg, template=C.override(cfg.template, num_components=args.components)
+        )
+    return cfg
+
+
+def _save_bank(path: str, bank) -> None:
+    from template_speech_recognition_tpu.checkpoint import save_bank
+
+    save_bank(path, bank)
+
+
+def _load_bank(path: str):
+    from template_speech_recognition_tpu.checkpoint import restore_bank
+
+    return restore_bank(path)
+
+
+def cmd_train(args) -> int:
+    from template_speech_recognition_tpu.pipeline import train_bank
+
+    cfg = _load_config(args)
+    corpus = _build_corpus(args.corpus, args.seed)
+    phones = args.phones.split(",")
+    bank = train_bank(corpus, phones, cfg)
+    _save_bank(args.bank, bank)
+    print(
+        json.dumps(
+            {
+                "trained": phones,
+                "num_templates": bank.num_templates,
+                "template_length": bank.template_length,
+                "bank": args.bank,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_detect(args) -> int:
+    from template_speech_recognition_tpu.pipeline import detect_corpus
+
+    cfg = _load_config(args)
+    corpus = _build_corpus(args.corpus, args.seed)
+    bank = _load_bank(args.bank)
+    result = detect_corpus(corpus, bank, cfg, target_phone=args.phone)
+    d = result.detections
+    if args.out:
+        np.savez(
+            args.out,
+            scores=d.scores,
+            times=d.times,
+            template_ids=d.template_ids,
+            utterance_ids=d.utterance_ids,
+        )
+    print(
+        json.dumps(
+            {
+                "num_detections": int(len(d.scores)),
+                "audio_seconds": round(result.audio_seconds, 2),
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    from template_speech_recognition_tpu.pipeline import (
+        detect_corpus,
+        evaluate_detections,
+    )
+
+    cfg = _load_config(args)
+    corpus = _build_corpus(args.corpus, args.seed)
+    bank = _load_bank(args.bank)
+    result = detect_corpus(corpus, bank, cfg, target_phone=args.phone)
+    metrics = evaluate_detections(result, cfg.detect.match_tolerance)
+    print(
+        json.dumps(
+            {
+                "phone": args.phone,
+                "eer": round(float(metrics["eer"]), 4),
+                "best_tpr": round(float(metrics["best_tpr"]), 4),
+                "num_labels": int(metrics["num_labels"]),
+                "num_detections": int(metrics["num_detections"]),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_classify(args) -> int:
+    """Isolated-segment classification over labeled spans of the corpus."""
+    import jax.numpy as jnp
+
+    from template_speech_recognition_tpu.detect.classify import (
+        classify_segments,
+        pad_segments,
+    )
+    from template_speech_recognition_tpu.frontend import frontend as run_frontend
+    from template_speech_recognition_tpu.pipeline import bucket_length
+
+    cfg = _load_config(args)
+    corpus = _build_corpus(args.corpus, args.seed)
+    bank = _load_bank(args.bank)
+    classes = sorted(set(bank.labels))
+    min_samples = cfg.frontend.frame_length + 3 * cfg.frontend.hop_length
+    clips = []
+    for _utt_id, wav, phones in corpus.iter_utterances():
+        for phone, s0, e0 in phones:
+            if phone in classes and (e0 - s0) >= min_samples:
+                clips.append((phone, wav[s0:e0]))
+    if not clips:
+        raise SystemExit("no scoreable segments found")
+    # Shared padded shape -> one frontend compile for all segments.
+    pad = bucket_length(max(len(c) for _, c in clips), quantum=4096)
+    segs, truth = [], []
+    for phone, clip in clips:
+        buf = np.zeros(pad, np.float32)
+        buf[: len(clip)] = clip
+        fm = run_frontend(jnp.asarray(buf), jnp.int32(len(clip)), cfg.frontend)
+        vf = int(fm.valid_frames)
+        if vf < 1:
+            continue
+        segs.append(np.asarray(fm.binary)[:vf].astype(np.float32))
+        truth.append(phone)
+    if not segs:
+        raise SystemExit("no scoreable segments found")
+    batch, lens = pad_segments(segs)
+    preds, _ = classify_segments(
+        batch, lens, bank, use_dtw=args.dtw, band=cfg.dtw.band
+    )
+    acc = float(np.mean([p == t for p, t in zip(preds, truth)]))
+    print(
+        json.dumps(
+            {
+                "num_segments": len(segs),
+                "accuracy": round(acc, 4),
+                "classes": classes,
+                "dtw": bool(args.dtw),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import runpy
+
+    sys.argv = ["bench.py"]
+    runpy.run_path(args.bench_script, run_name="__main__")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="template_speech_recognition_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("--corpus", default="synthetic",
+                        help="synthetic | timit:<root>")
+        sp.add_argument("--config", default=None, help="JSON PipelineConfig")
+        sp.add_argument("--seed", type=int, default=0)
+
+    t = sub.add_parser("train", help="train a template bank (config 3)")
+    common(t)
+    t.add_argument("--phones", required=True, help="comma-separated classes")
+    t.add_argument("--bank", required=True, help="output bank directory")
+    t.add_argument("--components", type=int, default=None,
+                   help="mixture components per class")
+    t.set_defaults(fn=cmd_train)
+
+    d = sub.add_parser("detect", help="scan a corpus (configs 1-2)")
+    common(d)
+    d.add_argument("--bank", required=True)
+    d.add_argument("--phone", required=True, help="target phone for labels")
+    d.add_argument("--out", default=None, help="detections .npz path")
+    d.set_defaults(fn=cmd_detect)
+
+    e = sub.add_parser("evaluate", help="ROC / EER over a corpus scan")
+    common(e)
+    e.add_argument("--bank", required=True)
+    e.add_argument("--phone", required=True)
+    e.set_defaults(fn=cmd_evaluate)
+
+    c = sub.add_parser("classify", help="isolated-segment classification")
+    common(c)
+    c.add_argument("--bank", required=True)
+    c.add_argument("--phone", default=None, help="unused; kept for symmetry")
+    c.add_argument("--dtw", action="store_true", help="DTW-aligned scoring")
+    c.set_defaults(fn=cmd_classify)
+
+    b = sub.add_parser("bench", help="run the scoring benchmark")
+    b.add_argument("--bench-script", default="bench.py")
+    b.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -108,9 +108,11 @@ def _clip_feature_maps(clips, cfg: PipelineConfig):
     usable = [c for c in clips if len(c) >= min_len]
     if not usable:
         raise ValueError("no usable clips (all shorter than one frame)")
+    # One shared padded shape for every clip: a single frontend compile
+    # instead of one per bucket (axon compiles are ~20-40 s each).
+    pad = bucket_length(max(len(c) for c in usable), quantum=4096)
     maps, lengths = [], []
     for c in usable:
-        pad = bucket_length(len(c), quantum=4096)
         buf = np.zeros(pad, np.float32)
         buf[: len(c)] = c
         fm = run_frontend(jnp.asarray(buf), jnp.int32(len(c)), fcfg)
@@ -133,10 +135,18 @@ def train_bank(
 
     tcfg = cfg.template
     class_templates: dict[str, np.ndarray] = {}
-    all_bg_maps: list[np.ndarray] = []
+    per_phone = {
+        phone: _clip_feature_maps(corpus.exemplar_clips(phone), cfg)
+        for phone in phones
+    }
+    # One registered length for the whole bank: templates stack on a
+    # single [K, L, F, E] tensor (batched MXU scoring + bank sharding),
+    # so all classes share L -- median over every exemplar by default.
+    target_len = tcfg.template_length or int(
+        np.median(np.concatenate([ln for _, ln in per_phone.values()]))
+    )
     for phone in phones:
-        maps, lengths = _clip_feature_maps(corpus.exemplar_clips(phone), cfg)
-        target_len = tcfg.template_length or int(np.median(lengths))
+        maps, lengths = per_phone[phone]
         l_max = int(lengths.max())
         stack_np = np.zeros((len(maps), l_max) + maps[0].shape[1:], dtype=bool)
         for i, m in enumerate(maps):

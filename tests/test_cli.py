@@ -1,0 +1,55 @@
+"""End-to-end CLI tests on the synthetic corpus (CPU backend)."""
+
+import json
+
+import numpy as np
+
+from template_speech_recognition_tpu.cli import main
+
+
+def _run(capsys, argv):
+    rc = main(argv)
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert rc == 0
+    return json.loads(out)
+
+
+def test_train_detect_evaluate_classify_roundtrip(tmp_path, capsys):
+    bank = str(tmp_path / "bank")
+    res = _run(capsys, [
+        "train", "--corpus", "synthetic", "--phones", "aa,iy", "--bank", bank,
+    ])
+    assert res["num_templates"] >= 2 and res["template_length"] > 0
+
+    dets = str(tmp_path / "dets.npz")
+    res = _run(capsys, [
+        "detect", "--corpus", "synthetic", "--bank", bank,
+        "--phone", "aa", "--out", dets,
+    ])
+    assert res["num_detections"] > 0
+    z = np.load(dets)
+    assert set(z.files) >= {"scores", "times", "template_ids", "utterance_ids"}
+    assert len(z["scores"]) == res["num_detections"]
+
+    res = _run(capsys, [
+        "evaluate", "--corpus", "synthetic", "--bank", bank, "--phone", "aa",
+    ])
+    assert res["num_labels"] > 0
+    assert 0.0 <= res["eer"] <= 1.0
+    # The synthetic phones are strongly separable; detection must work.
+    assert res["best_tpr"] > 0.5
+
+    res = _run(capsys, [
+        "classify", "--corpus", "synthetic", "--bank", bank,
+    ])
+    assert res["num_segments"] > 0
+    assert res["classes"] == ["aa", "iy"]
+    assert res["accuracy"] > 0.6
+
+
+def test_cli_unknown_corpus_fails_cleanly(tmp_path, capsys):
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["train", "--corpus", "nope", "--phones", "aa", "--bank",
+              str(tmp_path / "b")])
