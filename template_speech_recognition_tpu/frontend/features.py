@@ -46,22 +46,44 @@ def spectrogram(
     return dft.log_magnitude_spectrogram(frames, cfg.nfft, precision=precision)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "precision"))
+def _edge_responses_fused(waveform: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
+    """Fused-Pallas path: waveform -> edge responses without the
+    spectrogram round-tripping HBM (``ops.frontend_pallas``)."""
+    from template_speech_recognition_tpu.ops.frontend_pallas import (
+        edge_responses_pallas,
+    )
+
+    y = framing.preemphasize(waveform, cfg.preemphasis)
+    frames = framing.frame_signal(y, cfg.frame_length, cfg.hop_length)
+    frames = frames * framing.hamming_window(cfg.frame_length)[None, :]
+    t = frames.shape[0]
+    t_pad = ((t + 127) // 128) * 128
+    frames = jnp.zeros((t_pad, cfg.frame_length), jnp.float32).at[:t].set(frames)
+    return edge_responses_pallas(frames, cfg.nfft)[: t - 1]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "precision", "use_pallas"))
 def frontend(
     waveform: jnp.ndarray,
     num_valid_samples: jnp.ndarray,
     cfg: FrontendConfig,
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+    use_pallas: bool = False,
 ) -> FeatureMap:
     """Padded waveform [S] + valid count -> FeatureMap.
 
     The quantile threshold is computed over valid cells only, so the
     result for the valid region is independent of bucket padding
     (property-tested: score invariance under padding, SURVEY.md
-    section 4 item 3).
+    section 4 item 3).  ``use_pallas`` routes the DFT+log+edge stage
+    through the fused Pallas kernel (log-magnitude path only; the mel
+    variant and non-lane-aligned nfft fall back to the XLA path).
     """
-    spec = spectrogram(waveform, cfg, precision=precision)
-    resp = edges.edge_responses(spec)
+    if use_pallas and not cfg.use_mel and (cfg.nfft // 2) % 128 == 0:
+        resp = _edge_responses_fused(waveform, cfg)
+    else:
+        spec = spectrogram(waveform, cfg, precision=precision)
+        resp = edges.edge_responses(spec)
     # Feature rows = num_frames(valid) - 1 = (valid - frame_length)//hop.
     valid_frames = jnp.where(
         num_valid_samples >= cfg.frame_length,

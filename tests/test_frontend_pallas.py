@@ -1,0 +1,69 @@
+"""Parity tests for the fused Pallas frontend kernel (interpret mode)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from template_speech_recognition_tpu.ops import edges, framing
+from template_speech_recognition_tpu.ops.dft import log_magnitude_spectrogram
+from template_speech_recognition_tpu.ops.frontend_pallas import edge_responses_pallas
+
+
+def _frames(t, fl, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.standard_normal((t, fl)).astype(np.float32))
+
+
+def test_fused_matches_unfused():
+    t, fl, nfft = 128, 64, 256
+    frames = _frames(t, fl)
+    got = np.asarray(edge_responses_pallas(frames, nfft, interpret=True))[: t - 1]
+    want = np.asarray(
+        edges.edge_responses(log_magnitude_spectrogram(frames, nfft))
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_fused_multi_tile_boundary():
+    # Rows at the 128-row tile boundary use the adjacent-block trick;
+    # they must be exact, not clamped.
+    t, fl, nfft = 256, 64, 256
+    frames = _frames(t, fl, seed=1)
+    got = np.asarray(edge_responses_pallas(frames, nfft, interpret=True))[: t - 1]
+    want = np.asarray(
+        edges.edge_responses(log_magnitude_spectrogram(frames, nfft))
+    )
+    np.testing.assert_allclose(
+        got[120:136], want[120:136], rtol=1e-4, atol=1e-3
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_frontend_use_pallas_flag_matches_default():
+    from template_speech_recognition_tpu.config import FrontendConfig
+    from template_speech_recognition_tpu.frontend import frontend
+
+    cfg = FrontendConfig()  # nfft=512 -> freq_out=256: pallas-eligible
+    rng = np.random.default_rng(2)
+    wav = jnp.asarray(rng.standard_normal(16384).astype(np.float32))
+    nv = jnp.int32(15000)
+    import contextlib
+    from jax.experimental.pallas import tpu as pltpu
+
+    base = frontend(wav, nv, cfg)
+    with pltpu.force_tpu_interpret_mode():
+        fused = frontend(wav, nv, cfg, use_pallas=True)
+    assert int(base.valid_frames) == int(fused.valid_frames)
+    b0 = np.asarray(base.binary)
+    b1 = np.asarray(fused.binary)
+    assert b0.shape == b1.shape
+    # Binary maps may differ only at threshold-tie cells; demand 99.9%.
+    agree = (b0 == b1).mean()
+    assert agree > 0.999, agree
+
+
+def test_rejects_bad_shapes():
+    with pytest.raises(ValueError):
+        edge_responses_pallas(_frames(100, 64), 256, interpret=True)
+    with pytest.raises(ValueError):
+        edge_responses_pallas(_frames(128, 64), 200, interpret=True)
