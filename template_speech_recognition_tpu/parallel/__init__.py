@@ -7,8 +7,14 @@ from template_speech_recognition_tpu.parallel.em_sharded import (
     sharded_bernoulli_mixture_em,
 )
 from template_speech_recognition_tpu.parallel.topk_merge import merge_topk
+from template_speech_recognition_tpu.parallel.ring import (
+    ring_bank_scores,
+    channel_parallel_scores,
+)
 
 __all__ = [
+    "ring_bank_scores",
+    "channel_parallel_scores",
     "build_mesh",
     "local_mesh",
     "sharded_bank_scores",
