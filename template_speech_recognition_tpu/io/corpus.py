@@ -18,7 +18,17 @@ import os
 
 import numpy as np
 
-from template_speech_recognition_tpu.io.audio import read_audio
+from template_speech_recognition_tpu.io.audio import read_audio as _read_audio_py
+
+
+def read_audio(path: str):
+    """Prefer the native C++ decoder (``io.native``), falling back to
+    the pure-Python readers (bit-identical; tests/test_native_io.py)."""
+    from template_speech_recognition_tpu.io import native
+
+    if native.available():
+        return native.read_audio(path)
+    return _read_audio_py(path)
 
 
 @dataclasses.dataclass(frozen=True)
