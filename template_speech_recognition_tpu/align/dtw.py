@@ -93,20 +93,50 @@ def dtw_keyword_score(
     return -total / (num_rows + seg_len).astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("band",))
+@functools.partial(jax.jit, static_argnames=("band", "use_pallas"))
 def dtw_keyword_scores_batch(
     segments: jnp.ndarray,
     seg_lens: jnp.ndarray,
     w: jnp.ndarray,
     c_rows: jnp.ndarray,
     band: int,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
-    """[B, M_pad, F, E] x [K, L, F, E] -> scores [B, K] (double vmap)."""
+    """[B, M_pad, F, E] x [K, L, F, E] -> scores [B, K].
 
-    def one(seg, ln):
-        def per_template(wk, ck):
-            return dtw_keyword_score.__wrapped__(seg, ln, wk, ck, band)
+    ``use_pallas`` routes the banded DP through the wavefront kernel
+    (``ops.dtw_pallas``) on one [B*K, L, M] cost tensor; otherwise a
+    double-vmapped ``lax.scan``.  Same results (tested)."""
+    if not use_pallas:
 
-        return jax.vmap(per_template)(w, c_rows)
+        def one(seg, ln):
+            def per_template(wk, ck):
+                return dtw_keyword_score.__wrapped__(seg, ln, wk, ck, band)
 
-    return jax.vmap(one)(segments, seg_lens)
+            return jax.vmap(per_template)(w, c_rows)
+
+        return jax.vmap(one)(segments, seg_lens)
+
+    from template_speech_recognition_tpu.ops.dtw_pallas import banded_dtw_pallas
+
+    b, k = segments.shape[0], w.shape[0]
+    num_rows = w.shape[1]
+    llr = jax.vmap(
+        lambda seg: jax.vmap(
+            lambda wk, ck: frame_llr_matrix(seg, wk, ck)
+        )(w, c_rows)
+    )(segments)                                              # [B, K, L, M]
+    cost = (-llr).reshape(b * k, num_rows, llr.shape[-1])
+    lens = jnp.repeat(seg_lens.astype(jnp.int32), k)
+    n_pad = ((b * k + 7) // 8) * 8
+    cost = jnp.concatenate(
+        [cost, jnp.broadcast_to(cost[:1], (n_pad - b * k,) + cost.shape[1:])]
+    ) if n_pad != b * k else cost
+    lens = jnp.concatenate(
+        [lens, jnp.ones(n_pad - b * k, jnp.int32)]
+    ) if n_pad != b * k else lens
+    total = banded_dtw_pallas(cost, lens, band)[: b * k].reshape(b, k)
+    denom = (num_rows + seg_lens).astype(jnp.float32)[:, None]
+    scores = -total / denom
+    # Out-of-band pairs: the pallas kernel returns ~3e38 -> -inf score.
+    return jnp.where(total > 1e37, -jnp.inf, scores)

@@ -20,11 +20,14 @@ state plus a small JSON *scan manifest* for corpus-scan progress:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from template_speech_recognition_tpu.models.bank import TemplateBank
 from template_speech_recognition_tpu.models.mixture import EMState
@@ -68,6 +71,77 @@ def save_em_state(path: str, state: EMState) -> None:
 def restore_em_state(path: str) -> EMState:
     state = _checkpointer().restore(os.path.abspath(path))
     return EMState(**{k: jnp.asarray(v) for k, v in state.items()})
+
+
+def run_em_checkpointed(
+    x,
+    init_resp,
+    path: str,
+    num_iters: int = 50,
+    chunk_iters: int = 10,
+    eps: float = 0.01,
+    tol: float = 1e-4,
+    mask=None,
+) -> EMState:
+    """EM with iteration-granularity checkpoint/restart (SURVEY.md
+    section 5: "checkpoint-restart granularity at (a) EM iteration").
+
+    Runs ``models.mixture.bernoulli_mixture_em`` in compiled chunks of
+    ``chunk_iters``, persisting the full EMState after each chunk.  A
+    killed job re-invoked with the same arguments resumes from the last
+    completed chunk and produces the same final state as an
+    uninterrupted run (fault-injection tested).
+    """
+    from template_speech_recognition_tpu.models.mixture import em_step
+
+    x = jnp.asarray(x, jnp.float32)
+    n = x.shape[0]
+    mask_arr = (
+        jnp.ones((n,), jnp.float32) if mask is None
+        else jnp.asarray(mask, jnp.float32)
+    )
+
+    state = None
+    if os.path.exists(os.path.join(path, "_CHECKPOINT_METADATA")) or (
+        os.path.isdir(path) and os.listdir(path)
+    ):
+        try:
+            state = restore_em_state(path)
+        except Exception:
+            state = None
+    if state is None:
+        state = EMState(
+            iteration=jnp.int32(0),
+            responsibilities=jnp.asarray(init_resp, jnp.float32),
+            means=jnp.zeros((init_resp.shape[1], x.shape[1]), jnp.float32),
+            weights=jnp.full((init_resp.shape[1],), 1.0 / init_resp.shape[1]),
+            log_likelihood=jnp.float32(-jnp.inf),
+            done=jnp.bool_(False),
+            history=jnp.full((num_iters,), jnp.nan, jnp.float32),
+        )
+
+    @functools.partial(jax.jit, static_argnames=("steps",))
+    def run_chunk(s: EMState, steps: int) -> EMState:
+        def cond(t):
+            return (t.iteration < jnp.int32(s.iteration + steps)) \
+                & (t.iteration < num_iters) & (~t.done)
+
+        def body(t: EMState) -> EMState:
+            it = t.iteration + 1
+            new_resp, means, weights, mean_ll = em_step(
+                x, t.responsibilities, mask_arr, eps
+            )
+            improvement = mean_ll - t.log_likelihood
+            done = (improvement < tol) & (it > 1)
+            history = t.history.at[it - 1].set(mean_ll)
+            return EMState(it, new_resp, means, weights, mean_ll, done, history)
+
+        return lax.while_loop(cond, body, s)
+
+    while int(state.iteration) < num_iters and not bool(state.done):
+        state = run_chunk(state, chunk_iters)
+        save_em_state(path, state)
+    return state
 
 
 @dataclasses.dataclass

@@ -61,6 +61,10 @@ def _load_config(args):
         cfg = C.override(
             cfg, template=C.override(cfg.template, num_components=args.components)
         )
+    if getattr(args, "dtw_rescore", False):
+        cfg = C.override(
+            cfg, detect=C.override(cfg.detect, dtw_rescore=True)
+        )
     return cfg
 
 
@@ -236,12 +240,16 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--bank", required=True)
     d.add_argument("--phone", required=True, help="target phone for labels")
     d.add_argument("--out", default=None, help="detections .npz path")
+    d.add_argument("--dtw-rescore", action="store_true",
+                   help="config 4: DTW-rescore the top-K peaks")
     d.set_defaults(fn=cmd_detect)
 
     e = sub.add_parser("evaluate", help="ROC / EER over a corpus scan")
     common(e)
     e.add_argument("--bank", required=True)
     e.add_argument("--phone", required=True)
+    e.add_argument("--dtw-rescore", action="store_true",
+                   help="config 4: DTW-rescore the top-K peaks")
     e.set_defaults(fn=cmd_evaluate)
 
     c = sub.add_parser("classify", help="isolated-segment classification")

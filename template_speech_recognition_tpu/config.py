@@ -67,6 +67,7 @@ class DetectConfig:
     top_k: int = 64                # per-utterance detection budget
     quant_scale: int = 256         # fixed-point scale for bit-parity path
     time_block: int = 512          # frames per scoring block
+    dtw_rescore: bool = False      # config 4: DTW-rescore the top-K peaks
 
 
 @dataclasses.dataclass(frozen=True)

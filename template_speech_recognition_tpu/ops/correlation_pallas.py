@@ -70,7 +70,7 @@ def correlation_scores_pallas(
     block_k: int = 128,
     block_t: int = 128,
     block_d: int | None = None,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """feats [T, D] x W [K, L, D] + c [K] -> scores [K, T] (see module
     docstring for the tail contract).
@@ -80,6 +80,8 @@ def correlation_scores_pallas(
     (bf16 recommended); output float32.  ``block_d`` defaults by dtype
     so the double-buffered W tile fits VMEM (16 MB).
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     t, d = feats.shape
     k, length = w.shape[0], w.shape[1]
     if block_d is None:

@@ -100,13 +100,15 @@ def banded_dtw_pallas(
     seg_lens: jnp.ndarray,  # [N] int32 valid columns per pair
     band: int,
     block_pairs: int = 8,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:           # [N] float32: D[L-1, seg_len-1]
     """Batched banded-DTW terminal costs, wavefront-parallel in Pallas.
 
     Out-of-band / unreachable pairs return _INF (~3e38), matching the
     jnp path's +inf up to the finite clamp.
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     n, length, m = cost.shape
     if n % block_pairs:
         raise ValueError(f"n={n} not divisible by block_pairs={block_pairs}")

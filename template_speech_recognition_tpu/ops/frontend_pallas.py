@@ -70,7 +70,7 @@ def edge_responses_pallas(
     frames: jnp.ndarray,        # [T_pad, frame_length] f32 windowed frames
     nfft: int,
     block_t: int = 128,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:               # [T_pad, nfft//2, 8] edge responses
     """Fused DFT+log+edge kernel.
 
@@ -80,6 +80,8 @@ def edge_responses_pallas(
     nfft//2 % 128 == 0; frame_length is zero-padded to a lane multiple
     here (zero taps contribute nothing to the DFT).
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     t, fl = frames.shape
     freq_out = nfft // 2
     if t % block_t:

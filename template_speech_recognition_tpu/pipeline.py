@@ -16,8 +16,10 @@ jit caches a handful of shapes (SURVEY.md section 7 Stage 1).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Iterable, Protocol
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -183,6 +185,43 @@ def train_bank(
     return TemplateBank.from_classes(class_templates, background)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("m_seg", "band", "use_pallas")
+)
+def dtw_rescore_detections(
+    binary_map: jnp.ndarray,     # [T', F, E] feature map (padded)
+    valid_frames: jnp.ndarray,   # scalar int32
+    scores: jnp.ndarray,         # [P] sliding-window scores (-inf = empty)
+    times: jnp.ndarray,          # [P] window starts
+    w_rows: jnp.ndarray,         # [K, L, F, E] LLR filter
+    c_rows: jnp.ndarray,         # [K, L] per-row offsets
+    m_seg: int,
+    band: int,
+    use_pallas: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Config 4 (BASELINE.json:10): re-score the top-K sliding-window
+    peaks with banded-DTW alignment over a stretchable segment of up to
+    ``m_seg`` frames; returns (new scores [P], new template ids [P]).
+    Variable-length matching: each peak's segment may be shorter (up to
+    the valid end) or longer than the template; the band admits the
+    warp.  Empty slots stay -inf."""
+    from template_speech_recognition_tpu.align.dtw import dtw_keyword_scores_batch
+
+    t_idx = jnp.clip(times, 0, binary_map.shape[0] - 1)
+    idx = jnp.clip(
+        t_idx[:, None] + jnp.arange(m_seg)[None, :], 0, binary_map.shape[0] - 1
+    )
+    segs = jnp.take(binary_map, idx, axis=0).astype(jnp.float32)
+    seg_lens = jnp.clip(valid_frames.astype(jnp.int32) - t_idx, 1, m_seg)
+    pair = dtw_keyword_scores_batch.__wrapped__(
+        segs, seg_lens, w_rows, c_rows, band, use_pallas
+    )                                                        # [P, K]
+    best = jnp.max(pair, axis=-1)
+    bid = jnp.argmax(pair, axis=-1).astype(jnp.int32)
+    keep = jnp.isfinite(scores)
+    return jnp.where(keep, best, -jnp.inf), jnp.where(keep, bid, 0)
+
+
 @dataclasses.dataclass
 class CorpusDetections:
     detections: ev.DetectionSet
@@ -212,6 +251,16 @@ def detect_corpus(
         scores = sliding_scores(fm.binary, w, c)
         scores = masked_scores(scores, fm.valid_frames, bank.template_length)
         s, t, k = top_detections(scores, dcfg.nms_radius, dcfg.top_k)
+        if dcfg.dtw_rescore:
+            w_rows, c_rows = bank.llr_rows()
+            m_seg = bank.template_length + cfg.dtw.band
+            s, k = dtw_rescore_detections(
+                fm.binary, fm.valid_frames, s, t, w_rows, c_rows,
+                m_seg, cfg.dtw.band,
+                # Wavefront kernel on accelerators (5x faster compile,
+                # same results); interpret-mode pallas is slow on CPU.
+                use_pallas=jax.default_backend() != "cpu",
+            )
         per_utt.append((np.asarray(s), np.asarray(t), np.asarray(k)))
         if target_phone is not None:
             labels.append(

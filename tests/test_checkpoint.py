@@ -89,6 +89,44 @@ def test_scan_manifest_resume_matches_uninterrupted(tmp_path):
         np.testing.assert_array_equal(resumed[sid]["scores"], ref[sid]["scores"])
 
 
+def test_em_checkpointed_resume_matches_uninterrupted(tmp_path):
+    """Kill EM between chunks; the resumed fit must equal the
+    uninterrupted one bit-for-bit."""
+    from oracle.mixture import init_responsibilities
+    from template_speech_recognition_tpu.checkpoint import run_em_checkpointed
+    from template_speech_recognition_tpu.models.mixture import bernoulli_mixture_em
+
+    rng = np.random.default_rng(3)
+    x = (rng.random((40, 24)) < 0.4).astype(np.float32)
+    resp = init_responsibilities(40, 3, seed=0)
+
+    ref = run_em_checkpointed(
+        x, resp, str(tmp_path / "ref"), num_iters=8, chunk_iters=3, tol=0.0
+    )
+    # "Crash" after the first chunk: run only 3 iterations, then resume
+    # the full budget from the same directory.
+    crash_dir = str(tmp_path / "crash")
+    partial = run_em_checkpointed(
+        x, resp, crash_dir, num_iters=3, chunk_iters=3, tol=0.0
+    )
+    assert int(partial.iteration) == 3
+    resumed = run_em_checkpointed(
+        x, resp, crash_dir, num_iters=8, chunk_iters=3, tol=0.0
+    )
+    assert int(resumed.iteration) == int(ref.iteration) == 8
+    np.testing.assert_array_equal(np.asarray(resumed.means), np.asarray(ref.means))
+    np.testing.assert_array_equal(
+        np.asarray(resumed.weights), np.asarray(ref.weights)
+    )
+    # And both equal the single-compilation EM.
+    direct = bernoulli_mixture_em(
+        jnp.asarray(x), jnp.asarray(resp), num_iters=8, tol=0.0
+    )
+    np.testing.assert_allclose(
+        np.asarray(resumed.means), np.asarray(direct.means), rtol=1e-6, atol=1e-6
+    )
+
+
 def test_manifest_partial_shard_never_marked(tmp_path):
     m = ScanManifest(str(tmp_path / "m"))
     m.record(0, {"x": np.arange(3)})

@@ -1,0 +1,84 @@
+"""Config 4 end-to-end: DTW rescoring of detection peaks."""
+
+import json
+
+import numpy as np
+import jax.numpy as jnp
+
+from template_speech_recognition_tpu.align.dtw import dtw_keyword_scores_batch
+from template_speech_recognition_tpu.cli import main
+from template_speech_recognition_tpu.models.bank import TemplateBank
+from template_speech_recognition_tpu.pipeline import dtw_rescore_detections
+
+
+def _bank(seed=0, k=3, length=6, f=8, e=8):
+    rng = np.random.default_rng(seed)
+    tpl = np.clip(rng.random((k, length, f, e)).astype(np.float32), 0.05, 0.95)
+    bg = np.full((f, e), 0.2, np.float32)
+    return TemplateBank(jnp.asarray(tpl), jnp.asarray(bg),
+                        [f"c{i}" for i in range(k)])
+
+
+def test_pallas_batch_scorer_matches_scan():
+    bank = _bank()
+    w, c_rows = bank.llr_rows()
+    rng = np.random.default_rng(1)
+    segs = jnp.asarray((rng.random((5, 12, 8, 8)) < 0.3).astype(np.float32))
+    lens = jnp.asarray([12, 9, 6, 3, 12], jnp.int32)
+    scan = np.asarray(dtw_keyword_scores_batch(segs, lens, w, c_rows, 4))
+    pal = np.asarray(
+        dtw_keyword_scores_batch(segs, lens, w, c_rows, 4, use_pallas=True)
+    )
+    finite = np.isfinite(scan)
+    np.testing.assert_allclose(pal[finite], scan[finite], rtol=1e-5, atol=1e-5)
+    assert (np.isfinite(pal) == finite).all()
+
+
+def test_rescore_shapes_and_empty_slots():
+    bank = _bank()
+    w_rows, c_rows = bank.llr_rows()
+    rng = np.random.default_rng(2)
+    fmap = jnp.asarray((rng.random((40, 8, 8)) < 0.3).astype(np.float32))
+    scores = jnp.asarray([5.0, 3.0, -jnp.inf, 1.0])
+    times = jnp.asarray([2, 10, 0, 30], jnp.int32)
+    new_s, new_k = dtw_rescore_detections(
+        fmap, jnp.int32(36), scores, times, w_rows, c_rows,
+        m_seg=10, band=4,
+    )
+    new_s, new_k = np.asarray(new_s), np.asarray(new_k)
+    assert new_s.shape == (4,)
+    assert np.isneginf(new_s[2]) and new_k[2] == 0     # empty slot stays empty
+    assert np.isfinite(new_s[[0, 1, 3]]).all()
+    assert set(new_k[[0, 1, 3]]) <= {0, 1, 2}
+
+
+def test_rescore_prefers_matching_template():
+    # Build a feature map that IS template 1's high-probability pattern:
+    # DTW rescoring must pick template 1.
+    bank = _bank(seed=3)
+    w_rows, c_rows = bank.llr_rows()
+    tpl = np.asarray(bank.templates)[1]                # [L, F, E]
+    fmap_np = (np.random.default_rng(4).random((20, 8, 8)) < 0.1).astype(np.float32)
+    fmap_np[5:11] = (tpl > 0.5).astype(np.float32)
+    fmap = jnp.asarray(fmap_np)
+    scores = jnp.asarray([1.0])
+    times = jnp.asarray([5], jnp.int32)
+    new_s, new_k = dtw_rescore_detections(
+        fmap, jnp.int32(20), scores, times, w_rows, c_rows,
+        m_seg=9, band=3,
+    )
+    assert int(new_k[0]) == 1
+    assert np.isfinite(float(new_s[0]))
+
+
+def test_cli_evaluate_with_dtw_rescore(tmp_path, capsys):
+    bank = str(tmp_path / "bank")
+    assert main(["train", "--corpus", "synthetic", "--phones", "aa,iy",
+                 "--bank", bank]) == 0
+    capsys.readouterr()
+    assert main(["evaluate", "--corpus", "synthetic", "--bank", bank,
+                 "--phone", "aa", "--dtw-rescore"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["num_detections"] > 0
+    # DTW-aligned matching must still find the target phone.
+    assert res["best_tpr"] > 0.5
