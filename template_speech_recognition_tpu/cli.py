@@ -65,6 +65,10 @@ def _load_config(args):
         cfg = C.override(
             cfg, detect=C.override(cfg.detect, dtw_rescore=True)
         )
+    if getattr(args, "exact", False):
+        cfg = C.override(
+            cfg, detect=C.override(cfg.detect, exact_scores=True)
+        )
     return cfg
 
 
@@ -242,6 +246,8 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--out", default=None, help="detections .npz path")
     d.add_argument("--dtw-rescore", action="store_true",
                    help="config 4: DTW-rescore the top-K peaks")
+    d.add_argument("--exact", action="store_true",
+                   help="int32 fixed-point scoring (bit-parity path)")
     d.set_defaults(fn=cmd_detect)
 
     e = sub.add_parser("evaluate", help="ROC / EER over a corpus scan")
@@ -250,6 +256,8 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--phone", required=True)
     e.add_argument("--dtw-rescore", action="store_true",
                    help="config 4: DTW-rescore the top-K peaks")
+    e.add_argument("--exact", action="store_true",
+                   help="int32 fixed-point scoring (bit-parity path)")
     e.set_defaults(fn=cmd_evaluate)
 
     c = sub.add_parser("classify", help="isolated-segment classification")

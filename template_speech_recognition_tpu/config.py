@@ -68,6 +68,7 @@ class DetectConfig:
     quant_scale: int = 256         # fixed-point scale for bit-parity path
     time_block: int = 512          # frames per scoring block
     dtw_rescore: bool = False      # config 4: DTW-rescore the top-K peaks
+    exact_scores: bool = False     # int32 fixed-point scoring (bit-parity)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -28,7 +28,11 @@ from template_speech_recognition_tpu.detect import (
     evaluate as ev,
 )
 from template_speech_recognition_tpu.detect.nms import top_detections
-from template_speech_recognition_tpu.detect.scorer import masked_scores, sliding_scores
+from template_speech_recognition_tpu.detect.scorer import (
+    masked_scores,
+    sliding_scores,
+    sliding_scores_int,
+)
 from template_speech_recognition_tpu.frontend import frontend as run_frontend
 from template_speech_recognition_tpu.models import (
     TemplateBank,
@@ -239,6 +243,11 @@ def detect_corpus(
     """Configs 1-2: scan every utterance with the bank; fixed top-K
     detections per utterance; collect labels for ``target_phone``."""
     fcfg, dcfg = cfg.frontend, cfg.detect
+    if dcfg.exact_scores:
+        # int32 fixed-point path: order-independent modular arithmetic
+        # -> detection scores bit-identical to the CPU oracle's
+        # sliding_score_int on the same binary maps (BASELINE.json:5).
+        w_int, c_int = bank.llr_quantized(dcfg.quant_scale)
     w, c = bank.llr()
     per_utt, labels, utt_ids = [], [], []
     total_samples = 0
@@ -248,7 +257,11 @@ def detect_corpus(
         buf = np.zeros(pad, np.float32)
         buf[: len(wav)] = wav
         fm = run_frontend(jnp.asarray(buf), jnp.int32(len(wav)), fcfg)
-        scores = sliding_scores(fm.binary, w, c)
+        if dcfg.exact_scores:
+            scores = sliding_scores_int(fm.binary, w_int, c_int)
+            scores = scores.astype(jnp.float32) / jnp.float32(dcfg.quant_scale)
+        else:
+            scores = sliding_scores(fm.binary, w, c)
         scores = masked_scores(scores, fm.valid_frames, bank.template_length)
         s, t, k = top_detections(scores, dcfg.nms_radius, dcfg.top_k)
         if dcfg.dtw_rescore:

@@ -47,6 +47,26 @@ def test_train_detect_evaluate_classify_roundtrip(tmp_path, capsys):
     assert res["accuracy"] > 0.6
 
 
+def test_exact_int_scoring_path(tmp_path, capsys):
+    """--exact routes detection through int32 fixed-point scoring:
+    deterministic, bit-reproducible, and detections still land."""
+    bank = str(tmp_path / "bank")
+    _run(capsys, [
+        "train", "--corpus", "synthetic", "--phones", "aa,iy", "--bank", bank,
+    ])
+    r1 = _run(capsys, [
+        "evaluate", "--corpus", "synthetic", "--bank", bank,
+        "--phone", "aa", "--exact",
+    ])
+    r2 = _run(capsys, [
+        "evaluate", "--corpus", "synthetic", "--bank", bank,
+        "--phone", "aa", "--exact",
+    ])
+    assert r1 == r2                       # bit-reproducible end to end
+    assert r1["num_detections"] > 0
+    assert r1["best_tpr"] > 0.5
+
+
 def test_cli_unknown_corpus_fails_cleanly(tmp_path, capsys):
     import pytest
 
