@@ -94,6 +94,63 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+@functools.partial(
+    jax.jit, static_argnames=("block_t", "precision", "compute_dtype")
+)
+def sliding_scores_blockwise(
+    feats: jnp.ndarray,
+    w: jnp.ndarray,
+    c: jnp.ndarray,
+    block_t: int = 512,
+    precision: lax.Precision = lax.Precision.HIGHEST,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """Streaming twin of ``sliding_scores`` for arbitrarily long audio
+    (SURVEY.md section 5 "long-context": blockwise scoring with carried
+    overlap -- the workload's analog of blockwise attention).
+
+    A ``lax.scan`` walks T in ``block_t``-frame chunks; each step
+    scores its chunk extended by the next chunk's first L-1 frames, so
+    peak live memory is O(block_t * (D + K)) instead of O(T * (D + K)).
+    Output [K, T'-L+1] equals ``sliding_scores`` (same per-window conv).
+    """
+    t = feats.shape[0]
+    k, length = w.shape[0], w.shape[1]
+    if length - 1 > block_t:
+        raise ValueError(
+            f"template length {length} needs halo {length - 1} > "
+            f"block_t {block_t}; raise block_t"
+        )
+    d = w.shape[2] * w.shape[3]
+    x = feats.reshape(t, d).astype(compute_dtype)
+    rhs = jnp.swapaxes(w.reshape(k, length, d), 1, 2).astype(compute_dtype)
+    t_pad = _round_up(t, block_t)
+    x = jnp.zeros((t_pad, d), compute_dtype).at[:t].set(x)
+    n = t_pad // block_t
+    chunks = x.reshape(n, block_t, d)
+    halos = jnp.concatenate(
+        [chunks[1:, : length - 1], jnp.zeros((1, length - 1, d), compute_dtype)]
+    )
+
+    def step(_, xs):
+        ch, ha = xs
+        ext = jnp.concatenate([ch, ha], axis=0)          # [block+L-1, D]
+        out = lax.conv_general_dilated(
+            ext.T[None],
+            rhs,
+            window_strides=(1,),
+            padding="VALID",
+            dimension_numbers=_DN,
+            precision=precision,
+            preferred_element_type=jnp.float32,
+        )[0]                                             # [K, block]
+        return None, out
+
+    _, blocks = lax.scan(step, None, (chunks, halos))    # [n, K, block]
+    scores = jnp.moveaxis(blocks, 0, 1).reshape(k, t_pad)
+    return scores[:, : t - length + 1] + c.astype(jnp.float32)[:, None]
+
+
 def sliding_scores_backend(
     feats: jnp.ndarray,
     w: jnp.ndarray,
