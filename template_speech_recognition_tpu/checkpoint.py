@@ -42,11 +42,10 @@ def _checkpointer():
 def save_bank(path: str, bank: TemplateBank) -> None:
     """Orbax checkpoint of a bank at ``path`` (directory)."""
     ckptr = _checkpointer()
-    ckptr.save(
-        os.path.abspath(path),
-        {"templates": bank.templates, "background": bank.background},
-        force=True,
-    )
+    state = {"templates": bank.templates, "background": bank.background}
+    if bank.parts is not None:
+        state["parts"] = bank.parts
+    ckptr.save(os.path.abspath(path), state, force=True)
     ckptr.wait_until_finished()
     with open(os.path.join(path, "labels.json"), "w") as f:
         json.dump(bank.labels, f)
@@ -58,7 +57,10 @@ def restore_bank(path: str) -> TemplateBank:
     with open(os.path.join(path, "labels.json")) as f:
         labels = json.load(f)
     return TemplateBank(
-        jnp.asarray(state["templates"]), jnp.asarray(state["background"]), labels
+        jnp.asarray(state["templates"]),
+        jnp.asarray(state["background"]),
+        labels,
+        jnp.asarray(state["parts"]) if "parts" in state else None,
     )
 
 

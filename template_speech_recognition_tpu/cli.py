@@ -69,6 +69,11 @@ def _load_config(args):
         cfg = C.override(
             cfg, detect=C.override(cfg.detect, exact_scores=True)
         )
+    if getattr(args, "parts", 0):
+        cfg = C.override(
+            cfg, parts=C.override(cfg.parts, enabled=True,
+                                  num_parts=args.parts)
+        )
     return cfg
 
 
@@ -172,6 +177,11 @@ def cmd_classify(args) -> int:
     cfg = _load_config(args)
     corpus = _build_corpus(args.corpus, args.seed)
     bank = _load_bank(args.bank)
+    if bank.parts is not None:
+        raise SystemExit(
+            "classify does not support parts-coded banks yet; "
+            "train a raw-edge bank for classification"
+        )
     classes = sorted(set(bank.labels))
     min_samples = cfg.frontend.frame_length + 3 * cfg.frontend.hop_length
     clips = []
@@ -237,6 +247,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--bank", required=True, help="output bank directory")
     t.add_argument("--components", type=int, default=None,
                    help="mixture components per class")
+    t.add_argument("--parts", type=int, default=0,
+                   help="build the bank over N-part coded features")
     t.set_defaults(fn=cmd_train)
 
     d = sub.add_parser("detect", help="scan a corpus (configs 1-2)")

@@ -72,6 +72,24 @@ class DetectConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class PartsConfig:
+    """Parts-based feature coding (SURVEY.md section 1 row L5): learn a
+    patch dictionary by Bernoulli EM, re-code edge maps as part
+    indicator maps, and build templates over part features."""
+
+    enabled: bool = False
+    num_parts: int = 32
+    patch_time: int = 5
+    patch_freq: int = 5
+    num_patches: int = 2000
+    seed: int = 0
+    em_iters: int = 30
+    stride_time: int = 1
+    stride_freq: int = 1
+    loglik_threshold: float = float("-inf")
+
+
+@dataclasses.dataclass(frozen=True)
 class DTWConfig:
     band: int = 6                  # Sakoe-Chiba-style band half-width
     max_segment_frames: int = 128
@@ -104,6 +122,7 @@ class PipelineConfig:
     frontend: FrontendConfig = dataclasses.field(default_factory=FrontendConfig)
     template: TemplateConfig = dataclasses.field(default_factory=TemplateConfig)
     detect: DetectConfig = dataclasses.field(default_factory=DetectConfig)
+    parts: PartsConfig = dataclasses.field(default_factory=PartsConfig)
     dtw: DTWConfig = dataclasses.field(default_factory=DTWConfig)
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
 
@@ -122,6 +141,7 @@ _SECTIONS = {
     "frontend": FrontendConfig,
     "template": TemplateConfig,
     "detect": DetectConfig,
+    "parts": PartsConfig,
     "dtw": DTWConfig,
     "mesh": MeshConfig,
 }

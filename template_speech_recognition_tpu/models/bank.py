@@ -21,6 +21,10 @@ class TemplateBank:
     templates: jnp.ndarray          # [K, L, F, E] float32 in (0, 1)
     background: jnp.ndarray         # [F, E] float32 in (0, 1)
     labels: list[str]               # len K, class name per template
+    # Parts-based banks (SURVEY.md row L5): the patch dictionary used to
+    # re-code edge maps before scoring; None for raw-edge banks.  When
+    # set, (F, E) above are (part-map freq extent, num_parts).
+    parts: jnp.ndarray | None = None
 
     @property
     def num_templates(self) -> int:
@@ -35,6 +39,7 @@ class TemplateBank:
         cls,
         class_templates: dict[str, np.ndarray | jnp.ndarray],
         background: np.ndarray | jnp.ndarray,
+        parts: np.ndarray | jnp.ndarray | None = None,
     ) -> "TemplateBank":
         """class name -> [L,F,E] or [C,L,F,E]; classes sorted by name."""
         tpls, labels = [], []
@@ -45,7 +50,12 @@ class TemplateBank:
             for comp in t:
                 tpls.append(comp)
                 labels.append(name)
-        return cls(jnp.stack(tpls), jnp.asarray(background, dtype=jnp.float32), labels)
+        return cls(
+            jnp.stack(tpls),
+            jnp.asarray(background, dtype=jnp.float32),
+            labels,
+            None if parts is None else jnp.asarray(parts, jnp.float32),
+        )
 
     def llr(self) -> tuple[jnp.ndarray, jnp.ndarray]:
         """(W [K, L, F, E], c [K]) float32 -- SURVEY.md section 3.2."""
@@ -72,12 +82,14 @@ class TemplateBank:
         )
 
     def save(self, path: str) -> None:
-        np.savez(
-            path,
+        arrays = dict(
             templates=np.asarray(self.templates),
             background=np.asarray(self.background),
             labels=json.dumps(self.labels),
         )
+        if self.parts is not None:
+            arrays["parts"] = np.asarray(self.parts)
+        np.savez(path, **arrays)
 
     @classmethod
     def load(cls, path: str) -> "TemplateBank":
@@ -86,4 +98,5 @@ class TemplateBank:
             jnp.asarray(z["templates"]),
             jnp.asarray(z["background"]),
             json.loads(str(z["labels"])),
+            jnp.asarray(z["parts"]) if "parts" in z.files else None,
         )

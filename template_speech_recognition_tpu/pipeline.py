@@ -130,13 +130,39 @@ def _clip_feature_maps(clips, cfg: PipelineConfig):
     return maps, np.asarray(lengths, np.int64)
 
 
+def _code_map_list(maps, lengths, parts, pcfg):
+    """Re-code a list of edge maps as part-indicator maps (one padded
+    batch -> one compile), with per-map coded valid lengths."""
+    from template_speech_recognition_tpu.models.parts import code_parts_batch
+
+    t_max = max(m.shape[0] for m in maps)
+    stack = np.zeros((len(maps), t_max) + maps[0].shape[1:], np.float32)
+    for i, m in enumerate(maps):
+        stack[i, : m.shape[0]] = m
+    coded = np.asarray(
+        code_parts_batch(
+            jnp.asarray(stack), parts, pcfg.loglik_threshold,
+            pcfg.stride_time, pcfg.stride_freq,
+        )
+    )
+    new_lengths = np.maximum(
+        (np.asarray(lengths) - pcfg.patch_time) // pcfg.stride_time + 1, 1
+    )
+    out = [coded[i, : new_lengths[i]] for i in range(len(maps))]
+    return out, new_lengths.astype(np.int64)
+
+
 def train_bank(
     corpus: CorpusLike,
     phones: list[str],
     cfg: PipelineConfig,
 ) -> TemplateBank:
     """Config 3: train per-phone Bernoulli templates (optionally a
-    mixture per phone) plus a shared background model."""
+    mixture per phone) plus a shared background model.  With
+    ``cfg.parts.enabled`` the bank is built over part-indicator
+    features (SURVEY.md row L5): a patch dictionary is learned from the
+    pooled exemplar edge maps, every map is re-coded, and templates /
+    background are estimated on the coded maps."""
     from oracle.mixture import init_responsibilities  # deterministic shared init
 
     tcfg = cfg.template
@@ -145,6 +171,20 @@ def train_bank(
         phone: _clip_feature_maps(corpus.exemplar_clips(phone), cfg)
         for phone in phones
     }
+    parts = None
+    if cfg.parts.enabled:
+        from template_speech_recognition_tpu.models.parts import learn_parts
+
+        pcfg = cfg.parts
+        all_maps = [m for maps, _ in per_phone.values() for m in maps]
+        parts = learn_parts(
+            all_maps, pcfg.num_parts, pcfg.patch_time, pcfg.patch_freq,
+            pcfg.num_patches, pcfg.seed, pcfg.em_iters,
+        )
+        per_phone = {
+            ph: _code_map_list(maps, lengths, parts, pcfg)
+            for ph, (maps, lengths) in per_phone.items()
+        }
     # One registered length for the whole bank: templates stack on a
     # single [K, L, F, E] tensor (batched MXU scoring + bank sharding),
     # so all classes share L -- median over every exemplar by default.
@@ -179,6 +219,8 @@ def train_bank(
     bg_maps, bg_lengths = _clip_feature_maps(
         corpus.background_clips(phones[0]), cfg
     )
+    if parts is not None:
+        bg_maps, bg_lengths = _code_map_list(bg_maps, bg_lengths, parts, cfg.parts)
     t_max = max(m.shape[0] for m in bg_maps)
     bg_stack = np.zeros((len(bg_maps), t_max) + bg_maps[0].shape[1:], dtype=bool)
     for i, m in enumerate(bg_maps):
@@ -186,7 +228,7 @@ def train_bank(
     background = estimate_background(
         jnp.asarray(bg_stack), jnp.asarray(bg_lengths), cfg.template.prob_clip_eps
     )
-    return TemplateBank.from_classes(class_templates, background)
+    return TemplateBank.from_classes(class_templates, background, parts=parts)
 
 
 @functools.partial(
@@ -257,18 +299,30 @@ def detect_corpus(
         buf = np.zeros(pad, np.float32)
         buf[: len(wav)] = wav
         fm = run_frontend(jnp.asarray(buf), jnp.int32(len(wav)), fcfg)
+        feat_map, valid = fm.binary, fm.valid_frames
+        if bank.parts is not None:
+            from template_speech_recognition_tpu.models.parts import code_parts
+
+            pcfg = cfg.parts
+            feat_map = code_parts(
+                feat_map.astype(jnp.float32), bank.parts,
+                pcfg.loglik_threshold, pcfg.stride_time, pcfg.stride_freq,
+            )
+            valid = jnp.maximum(
+                (valid - pcfg.patch_time) // pcfg.stride_time + 1, 0
+            ).astype(jnp.int32)
         if dcfg.exact_scores:
-            scores = sliding_scores_int(fm.binary, w_int, c_int)
+            scores = sliding_scores_int(feat_map, w_int, c_int)
             scores = scores.astype(jnp.float32) / jnp.float32(dcfg.quant_scale)
         else:
-            scores = sliding_scores(fm.binary, w, c)
-        scores = masked_scores(scores, fm.valid_frames, bank.template_length)
+            scores = sliding_scores(feat_map, w, c)
+        scores = masked_scores(scores, valid, bank.template_length)
         s, t, k = top_detections(scores, dcfg.nms_radius, dcfg.top_k)
         if dcfg.dtw_rescore:
             w_rows, c_rows = bank.llr_rows()
             m_seg = bank.template_length + cfg.dtw.band
             s, k = dtw_rescore_detections(
-                fm.binary, fm.valid_frames, s, t, w_rows, c_rows,
+                feat_map.astype(jnp.float32), valid, s, t, w_rows, c_rows,
                 m_seg, cfg.dtw.band,
                 # Wavefront kernel on accelerators (5x faster compile,
                 # same results); interpret-mode pallas is slow on CPU.

@@ -73,3 +73,18 @@ def test_cli_unknown_corpus_fails_cleanly(tmp_path, capsys):
     with pytest.raises(SystemExit):
         main(["train", "--corpus", "nope", "--phones", "aa", "--bank",
               str(tmp_path / "b")])
+
+
+def test_parts_bank_train_detect_evaluate(tmp_path, capsys):
+    """L5 end-to-end: bank over part-coded features detects the phone."""
+    bank = str(tmp_path / "pbank")
+    res = _run(capsys, [
+        "train", "--corpus", "synthetic", "--phones", "aa,iy",
+        "--bank", bank, "--parts", "8",
+    ])
+    assert res["num_templates"] >= 2
+    res = _run(capsys, [
+        "evaluate", "--corpus", "synthetic", "--bank", bank, "--phone", "aa",
+    ])
+    assert res["num_detections"] > 0
+    assert res["best_tpr"] > 0.5
