@@ -29,6 +29,19 @@ import time
 import numpy as np
 
 
+def _enable_compile_cache():
+    """Persistent on-disk compilation cache: repeat bench runs (fresh
+    processes) skip the ~3-minute remote TPU compile."""
+    import jax
+
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax: flag names differ; cache is an optimization only
+
+
 def _measure_tpu(feats, w, c, iters=8, backend="conv"):
     import jax
     import jax.numpy as jnp
@@ -80,6 +93,7 @@ def _measure_cpu_oracle(feats, w, c, k_small=8, t_small=400, b_small=1):
 
 
 def main() -> None:
+    _enable_compile_cache()
     b = int(os.environ.get("BENCH_B", 8))
     t = int(os.environ.get("BENCH_T", 3000))          # 30 s of audio each
     k = int(os.environ.get("BENCH_K", 1024))

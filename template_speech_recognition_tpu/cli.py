@@ -131,6 +131,7 @@ def cmd_detect(args) -> int:
             {
                 "num_detections": int(len(d.scores)),
                 "audio_seconds": round(result.audio_seconds, 2),
+                "audio_s_per_s": round(result.counters.get("audio_s_per_s", 0.0), 2),
                 "out": args.out,
             }
         )
@@ -177,11 +178,6 @@ def cmd_classify(args) -> int:
     cfg = _load_config(args)
     corpus = _build_corpus(args.corpus, args.seed)
     bank = _load_bank(args.bank)
-    if bank.parts is not None:
-        raise SystemExit(
-            "classify does not support parts-coded banks yet; "
-            "train a raw-edge bank for classification"
-        )
     classes = sorted(set(bank.labels))
     min_samples = cfg.frontend.frame_length + 3 * cfg.frontend.hop_length
     clips = []
@@ -199,9 +195,19 @@ def cmd_classify(args) -> int:
         buf[: len(clip)] = clip
         fm = run_frontend(jnp.asarray(buf), jnp.int32(len(clip)), cfg.frontend)
         vf = int(fm.valid_frames)
+        feat_map = fm.binary
+        if bank.parts is not None:
+            from template_speech_recognition_tpu.models.parts import code_parts
+
+            pcfg = cfg.parts
+            feat_map = code_parts(
+                feat_map.astype(jnp.float32), bank.parts,
+                pcfg.loglik_threshold, pcfg.stride_time, pcfg.stride_freq,
+            )
+            vf = max((vf - pcfg.patch_time) // pcfg.stride_time + 1, 0)
         if vf < 1:
             continue
-        segs.append(np.asarray(fm.binary)[:vf].astype(np.float32))
+        segs.append(np.asarray(feat_map)[:vf].astype(np.float32))
         truth.append(phone)
     if not segs:
         raise SystemExit("no scoreable segments found")

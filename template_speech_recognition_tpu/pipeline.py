@@ -274,6 +274,7 @@ class CorpusDetections:
     labels_per_utterance: list[np.ndarray]   # frame-index starts
     audio_seconds: float
     utt_ids: list[str]
+    counters: dict[str, float] = dataclasses.field(default_factory=dict)
 
 
 def detect_corpus(
@@ -284,6 +285,10 @@ def detect_corpus(
 ) -> CorpusDetections:
     """Configs 1-2: scan every utterance with the bank; fixed top-K
     detections per utterance; collect labels for ``target_phone``."""
+    from template_speech_recognition_tpu.utils.metrics import StageCounters
+    from template_speech_recognition_tpu.utils.profiling import named_scope
+
+    stats = StageCounters()
     fcfg, dcfg = cfg.frontend, cfg.detect
     if dcfg.exact_scores:
         # int32 fixed-point path: order-independent modular arithmetic
@@ -293,13 +298,16 @@ def detect_corpus(
     w, c = bank.llr()
     per_utt, labels, utt_ids = [], [], []
     total_samples = 0
+    stats.start("scan")
     for utt_id, wav, phones in corpus.iter_utterances():
         total_samples += len(wav)
         pad = bucket_length(len(wav))
         buf = np.zeros(pad, np.float32)
         buf[: len(wav)] = wav
-        fm = run_frontend(jnp.asarray(buf), jnp.int32(len(wav)), fcfg)
+        with named_scope("frontend"):
+            fm = run_frontend(jnp.asarray(buf), jnp.int32(len(wav)), fcfg)
         feat_map, valid = fm.binary, fm.valid_frames
+        stats.add("frames", float(int(fm.valid_frames)))
         if bank.parts is not None:
             from template_speech_recognition_tpu.models.parts import code_parts
 
@@ -317,6 +325,7 @@ def detect_corpus(
         else:
             scores = sliding_scores(feat_map, w, c)
         scores = masked_scores(scores, valid, bank.template_length)
+        stats.add("windows_scored", float(int(valid)) * bank.num_templates)
         s, t, k = top_detections(scores, dcfg.nms_radius, dcfg.top_k)
         if dcfg.dtw_rescore:
             w_rows, c_rows = bank.llr_rows()
@@ -340,8 +349,15 @@ def detect_corpus(
             labels.append(np.zeros(0, np.int64))
         utt_ids.append(utt_id)
     dets = ev.DetectionSet.from_per_utterance(per_utt)
+    stats.stop("scan")
+    stats.add("utterances", float(len(utt_ids)))
+    stats.add("audio_seconds", total_samples / corpus.sample_rate)
+    stats.add("detections", float(len(dets.scores)))
+    counters = stats.to_dict()
+    counters["audio_s_per_s"] = stats.rate("audio_seconds", "scan")
+    stats.log("detect_corpus ")
     return CorpusDetections(
-        dets, labels, total_samples / corpus.sample_rate, utt_ids
+        dets, labels, total_samples / corpus.sample_rate, utt_ids, counters
     )
 
 

@@ -88,3 +88,14 @@ def test_parts_bank_train_detect_evaluate(tmp_path, capsys):
     ])
     assert res["num_detections"] > 0
     assert res["best_tpr"] > 0.5
+
+
+def test_classify_with_parts_bank(tmp_path, capsys):
+    bank = str(tmp_path / "pbank2")
+    _run(capsys, [
+        "train", "--corpus", "synthetic", "--phones", "aa,iy",
+        "--bank", bank, "--parts", "8",
+    ])
+    res = _run(capsys, ["classify", "--corpus", "synthetic", "--bank", bank])
+    assert res["num_segments"] > 0
+    assert res["accuracy"] > 0.5
