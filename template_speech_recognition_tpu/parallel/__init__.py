@@ -7,12 +7,16 @@ from template_speech_recognition_tpu.parallel.em_sharded import (
     sharded_bernoulli_mixture_em,
 )
 from template_speech_recognition_tpu.parallel.topk_merge import merge_topk
+from template_speech_recognition_tpu.parallel.detect_sharded import (
+    detect_corpus_sharded,
+)
 from template_speech_recognition_tpu.parallel.ring import (
     ring_bank_scores,
     channel_parallel_scores,
 )
 
 __all__ = [
+    "detect_corpus_sharded",
     "ring_bank_scores",
     "channel_parallel_scores",
     "build_mesh",
