@@ -42,18 +42,31 @@ def _enable_compile_cache():
         pass  # older jax: flag names differ; cache is an optimization only
 
 
-def _measure_tpu(feats, w, c, iters=8, backend="conv"):
+def _measure_tpu(shape, iters=8, backend="conv"):
     import jax
     import jax.numpy as jnp
     from template_speech_recognition_tpu.detect.scorer import sliding_scores_backend
 
-    fj = jnp.asarray(feats, dtype=jnp.bfloat16)
-    wj = jnp.asarray(w, dtype=jnp.bfloat16)
-    cj = jnp.asarray(c)
+    b, t, k, length, f, e = shape
+
+    # Generate the workload ON DEVICE: host->device staging of ~1 GB of
+    # random tensors dominates wall time on the tunneled PJRT.
+    @jax.jit
+    def make_data():
+        k0, k1, k2 = jax.random.split(jax.random.PRNGKey(0), 3)
+        feats = jax.random.bernoulli(k0, 0.15, (b, t, f, e)).astype(jnp.bfloat16)
+        w = jax.random.normal(k1, (k, length, f, e), jnp.bfloat16)
+        c = jax.random.normal(k2, (k,), jnp.float32)
+        return feats, w, c
+
+    t0 = time.perf_counter()
+    fj, wj, cj = make_data()
+    fj.block_until_ready()
+    print(f"[bench] make_data {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     def score_all(fb, wb, cb):
         out = jax.vmap(
-            lambda f: sliding_scores_backend(f, wb, cb, backend=backend)
+            lambda x: sliding_scores_backend(x, wb, cb, backend=backend)
         )(fb)
         # Device-side scalar: forces real completion on readback.  On
         # this PJRT, block_until_ready returns early -- timing MUST go
@@ -61,7 +74,9 @@ def _measure_tpu(feats, w, c, iters=8, backend="conv"):
         return jnp.sum(out)
 
     fn = jax.jit(score_all)
+    t0 = time.perf_counter()
     float(fn(fj, wj, cj))  # compile + warmup
+    print(f"[bench] compile+warmup {time.perf_counter()-t0:.1f}s", file=sys.stderr)
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
@@ -102,15 +117,16 @@ def main() -> None:
     hop_seconds = 0.010                               # 10 ms hop
     audio_seconds = b * t * hop_seconds
 
+    backend = os.environ.get("BENCH_BACKEND", "conv")
+    dt_tpu = _measure_tpu((b, t, k, length, f, e), backend=backend)
+    tpu_throughput = audio_seconds / dt_tpu
+
+    # CPU oracle gets its own (distribution-identical) host-side data;
+    # it measures throughput, not numerical parity.
     rng = np.random.default_rng(0)
     feats = (rng.random((b, t, f, e)) < 0.15).astype(np.float32)
     w = rng.standard_normal((k, length, f, e)).astype(np.float32)
     c = rng.standard_normal((k,)).astype(np.float32)
-
-    backend = os.environ.get("BENCH_BACKEND", "conv")
-    dt_tpu = _measure_tpu(feats, w, c, backend=backend)
-    tpu_throughput = audio_seconds / dt_tpu
-
     dt_cpu = _measure_cpu_oracle(feats, w, c)
     cpu_throughput = audio_seconds / dt_cpu
 

@@ -22,6 +22,18 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The axon sitecustomize imports jax at interpreter startup — BEFORE this
+# conftest runs — so jax's config has already snapshotted
+# JAX_PLATFORMS=axon from the outer env and ignores the os.environ writes
+# above.  Without the explicit config.update the whole suite silently
+# runs on the tunneled 1-chip TPU backend (bf16 convs broke f32 parity
+# tests by ~7e-4 rel).  XLA_FLAGS is read lazily at first backend init,
+# so the environ write is still in time for the 8 fake CPU devices.
+if "jax" in sys.modules:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
