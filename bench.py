@@ -11,12 +11,23 @@ Prints ONE JSON line:
 
 Workload: B utterances x T frames of binary edge features
 ([T, F=256, E=8] -> D=2048 channels), K templates of length L.
-The TPU path runs the production configuration (bfloat16 inputs,
-float32 accumulation on the MXU); the CPU oracle runs
-``oracle.score.sliding_score`` (float32 BLAS) on a scaled-down slice,
-extrapolated linearly in (K * T * B) -- both are dense GEMM-shaped
-workloads, so linear extrapolation favors the CPU if anything (cache
-effects only hurt the larger run).
+Default backend is the frequency-domain scorer
+(``detect.fft_scorer``): ~14x less MXU work than the direct conv;
+BENCH_BACKEND=conv|pallas|fft selects others.  The per-bank spectra
+build is one-time setup (like the LLR filter build) and is excluded,
+exactly as the filter build is excluded from the conv path.
+
+Timing methodology: the tunneled PJRT on this machine adds a ~23 ms
+round trip to every host readback AND returns early from
+block_until_ready, so single-call timing is wrong in both directions.
+We therefore run the scorer R times inside one jit (inputs perturbed
+per step so XLA cannot hoist the work) for R in {2, 6} and take the
+slope (t6 - t2) / 4 -- the constant round trip cancels.
+
+The CPU oracle runs ``oracle.score.sliding_score`` (float32 BLAS) on a
+scaled-down slice, extrapolated linearly in (K * T * B) -- both are
+dense GEMM-shaped workloads, so linear extrapolation favors the CPU if
+anything.
 """
 
 from __future__ import annotations
@@ -31,7 +42,7 @@ import numpy as np
 
 def _enable_compile_cache():
     """Persistent on-disk compilation cache: repeat bench runs (fresh
-    processes) skip the ~3-minute remote TPU compile."""
+    processes) skip the remote TPU compile."""
     import jax
 
     cache_dir = os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache")
@@ -42,10 +53,54 @@ def _enable_compile_cache():
         pass  # older jax: flag names differ; cache is an optimization only
 
 
-def _measure_tpu(shape, iters=8, backend="conv"):
+def _slope_time(score_batch, feats, *operands, iters=4, reps=(2, 6)):
+    """Per-call seconds of ``score_batch(feats, *operands)`` by the
+    slope method (see module docstring).  Large arrays (bank spectra,
+    filters) MUST be passed as ``operands``, never closed over --
+    closure arrays become jit constants and a ~1 GB HLO literal stalls
+    the compiler indefinitely."""
     import jax
     import jax.numpy as jnp
-    from template_speech_recognition_tpu.detect.scorer import sliding_scores_backend
+
+    def make(r):
+        @jax.jit
+        def run(x0, *rest):
+            eps = (jnp.arange(1, r + 1, dtype=jnp.float32) * 1e-6).astype(
+                x0.dtype
+            )
+
+            def body(acc, e):
+                return acc + score_batch(x0 + e, *rest), None
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), eps)
+            return acc
+
+        return run
+
+    t_at = {}
+    for r in reps:
+        fn = make(r)
+        t0 = time.perf_counter()
+        float(fn(feats, *operands))  # compile + warmup (host read forces completion)
+        print(
+            f"[bench] compile+warmup r={r}: {time.perf_counter()-t0:.1f}s",
+            file=sys.stderr,
+        )
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            float(fn(feats, *operands))
+            times.append(time.perf_counter() - t0)
+        t_at[r] = float(np.median(times))
+    return (t_at[reps[1]] - t_at[reps[0]]) / (reps[1] - reps[0])
+
+
+def _measure_tpu(shape, backend="fft"):
+    import jax
+    import jax.numpy as jnp
+    from template_speech_recognition_tpu.detect.scorer import (
+        sliding_scores_backend,
+    )
 
     b, t, k, length, f, e = shape
 
@@ -64,25 +119,27 @@ def _measure_tpu(shape, iters=8, backend="conv"):
     fj.block_until_ready()
     print(f"[bench] make_data {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
-    def score_all(fb, wb, cb):
+    if backend == "fft":
+        from template_speech_recognition_tpu.detect.fft_scorer import (
+            build_fft_bank,
+            fft_sliding_scores,
+        )
+
+        bank = build_fft_bank(wj, cj)  # one-time per-bank setup
+        jax.block_until_ready(bank.w2)
+
+        def score_batch(fb, bk):
+            return jnp.sum(fft_sliding_scores(fb, bk))
+
+        return _slope_time(score_batch, fj, bank)
+
+    def score_batch(fb, w, c):
         out = jax.vmap(
-            lambda x: sliding_scores_backend(x, wb, cb, backend=backend)
+            lambda x: sliding_scores_backend(x, w, c, backend=backend)
         )(fb)
-        # Device-side scalar: forces real completion on readback.  On
-        # this PJRT, block_until_ready returns early -- timing MUST go
-        # through a host read of a value derived from the result.
         return jnp.sum(out)
 
-    fn = jax.jit(score_all)
-    t0 = time.perf_counter()
-    float(fn(fj, wj, cj))  # compile + warmup
-    print(f"[bench] compile+warmup {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        float(fn(fj, wj, cj))
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+    return _slope_time(score_batch, fj, wj, cj)
 
 
 def _measure_cpu_oracle(feats, w, c, k_small=8, t_small=400, b_small=1):
@@ -117,7 +174,7 @@ def main() -> None:
     hop_seconds = 0.010                               # 10 ms hop
     audio_seconds = b * t * hop_seconds
 
-    backend = os.environ.get("BENCH_BACKEND", "conv")
+    backend = os.environ.get("BENCH_BACKEND", "fft")
     dt_tpu = _measure_tpu((b, t, k, length, f, e), backend=backend)
     tpu_throughput = audio_seconds / dt_tpu
 
@@ -141,9 +198,10 @@ def main() -> None:
         "batch_utts": b,
         "frames_per_utt": t,
         "tpu_step_ms": round(dt_tpu * 1e3, 2),
-        "tpu_tflops": round(flops / dt_tpu / 1e12, 1),
+        "tpu_effective_tflops": round(flops / dt_tpu / 1e12, 1),
         "cpu_oracle_audio_s_per_s": round(cpu_throughput, 2),
         "backend": backend,
+        "timing": "slope(r2,r6)",
     }
     print(json.dumps(result))
     sys.stdout.flush()

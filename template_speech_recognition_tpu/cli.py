@@ -69,6 +69,10 @@ def _load_config(args):
         cfg = C.override(
             cfg, detect=C.override(cfg.detect, exact_scores=True)
         )
+    if getattr(args, "score_backend", None):
+        cfg = C.override(
+            cfg, detect=C.override(cfg.detect, score_backend=args.score_backend)
+        )
     if getattr(args, "parts", 0):
         cfg = C.override(
             cfg, parts=C.override(cfg.parts, enabled=True,
@@ -266,6 +270,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="config 4: DTW-rescore the top-K peaks")
     d.add_argument("--exact", action="store_true",
                    help="int32 fixed-point scoring (bit-parity path)")
+    d.add_argument("--score-backend", default=None,
+                   choices=["conv", "fft", "pallas"],
+                   help="scoring kernel (fft = frequency-domain fast path)")
     d.set_defaults(fn=cmd_detect)
 
     e = sub.add_parser("evaluate", help="ROC / EER over a corpus scan")
@@ -274,6 +281,9 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--phone", required=True)
     e.add_argument("--dtw-rescore", action="store_true",
                    help="config 4: DTW-rescore the top-K peaks")
+    e.add_argument("--score-backend", default=None,
+                   choices=["conv", "fft", "pallas"],
+                   help="scoring kernel (fft = frequency-domain fast path)")
     e.add_argument("--exact", action="store_true",
                    help="int32 fixed-point scoring (bit-parity path)")
     e.set_defaults(fn=cmd_evaluate)

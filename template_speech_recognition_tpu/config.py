@@ -69,6 +69,7 @@ class DetectConfig:
     time_block: int = 512          # frames per scoring block
     dtw_rescore: bool = False      # config 4: DTW-rescore the top-K peaks
     exact_scores: bool = False     # int32 fixed-point scoring (bit-parity)
+    score_backend: str = "conv"    # conv | fft | pallas (detect.scorer)
 
 
 @dataclasses.dataclass(frozen=True)

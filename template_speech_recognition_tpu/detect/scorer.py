@@ -161,13 +161,26 @@ def sliding_scores_backend(
     """Backend-selectable scorer: feats [T',F,E], W [K,L,F,E], c [K]
     -> [K, T'-L+1].
 
-    ``backend="conv"`` (production): XLA ``conv_general_dilated``.
+    ``backend="fft"`` (production fast path): frequency-domain
+    overlap-save correlation (``detect.fft_scorer``) -- ~14x less MXU
+    work than the direct conv at L = 32; builds the bank spectra per
+    call (prefer ``fft_scorer.build_fft_bank`` + ``fft_sliding_scores``
+    when scoring many utterances against one bank).
+    ``backend="conv"``: XLA ``conv_general_dilated`` (direct).
     ``backend="pallas"``: the hand-written MXU kernel in
     ``ops.correlation_pallas`` -- pads (T, K, D) up to its block grid,
-    calls it, and slices the valid region.  Both return identical
+    calls it, and slices the valid region.  All return identical
     layouts, so callers can switch via config/env without other code
     changes.
     """
+    if backend == "fft":
+        from template_speech_recognition_tpu.detect.fft_scorer import (
+            build_fft_bank,
+            fft_sliding_scores,
+        )
+
+        bank = build_fft_bank(w, c, mm_dtype=compute_dtype)
+        return fft_sliding_scores(feats[None], bank)[0]
     if backend == "conv":
         return sliding_scores(
             feats, w, c,

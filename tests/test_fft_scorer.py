@@ -1,0 +1,112 @@
+"""FFT-domain scorer parity vs the direct f32 conv path.
+
+The fft path is a bf16 throughput backend: tolerance is bf16-class
+(rel ~3e-3 at the bench shape), checked against oracle/conv f32.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import oracle as O
+from template_speech_recognition_tpu.detect import sliding_scores
+from template_speech_recognition_tpu.detect.scorer import sliding_scores_backend
+from template_speech_recognition_tpu.detect.fft_scorer import (
+    FFTBank,
+    build_fft_bank,
+    fft_sliding_scores,
+    pick_nfft,
+)
+
+
+def _rand_problem(rng, b=2, t=137, k=5, length=12, f=17, e=3):
+    feats = (rng.random((b, t, f, e)) < 0.2).astype(np.float32)
+    w = rng.normal(size=(k, length, f, e)).astype(np.float32)
+    c = rng.normal(size=(k,)).astype(np.float32)
+    return feats, w, c
+
+
+def _ref_scores(feats, w, c):
+    return np.stack(
+        [
+            np.asarray(
+                sliding_scores(jnp.asarray(fm), jnp.asarray(w), jnp.asarray(c))
+            )
+            for fm in feats
+        ]
+    )
+
+
+def _assert_close(got, ref):
+    scale = np.max(np.abs(ref)) + 1e-6
+    np.testing.assert_allclose(got / scale, ref / scale, atol=2e-2)
+
+
+def test_fft_scores_match_conv_odd_shapes():
+    rng = np.random.default_rng(0)
+    feats, w, c = _rand_problem(rng)
+    bank = build_fft_bank(jnp.asarray(w), jnp.asarray(c))
+    got = np.asarray(fft_sliding_scores(jnp.asarray(feats), bank))
+    ref = _ref_scores(feats, w, c)
+    assert got.shape == ref.shape
+    _assert_close(got, ref)
+
+
+def test_fft_scores_match_oracle():
+    rng = np.random.default_rng(1)
+    feats, w, c = _rand_problem(rng, b=1, t=90, k=3, length=9, f=11, e=2)
+    bank = build_fft_bank(jnp.asarray(w), jnp.asarray(c))
+    got = np.asarray(fft_sliding_scores(jnp.asarray(feats), bank))[0]
+    ref = O.sliding_score(feats[0].astype(bool), w, c)
+    _assert_close(got, ref)
+
+
+@pytest.mark.parametrize("nfft", [64, 128, 256])
+def test_fft_scores_nfft_sweep(nfft):
+    rng = np.random.default_rng(2)
+    feats, w, c = _rand_problem(rng, b=1, t=300, k=4, length=20)
+    bank = build_fft_bank(jnp.asarray(w), jnp.asarray(c), nfft=nfft)
+    got = np.asarray(fft_sliding_scores(jnp.asarray(feats), bank))
+    ref = _ref_scores(feats, w, c)
+    _assert_close(got, ref)
+
+
+def test_fft_t_not_multiple_of_hop():
+    # exercise tail-block padding: T chosen so tout % hop != 0 and the
+    # last block is mostly padding
+    rng = np.random.default_rng(3)
+    feats, w, c = _rand_problem(rng, b=1, t=71, k=2, length=16)
+    bank = build_fft_bank(jnp.asarray(w), jnp.asarray(c), nfft=64)
+    got = np.asarray(fft_sliding_scores(jnp.asarray(feats), bank))
+    ref = _ref_scores(feats, w, c)
+    _assert_close(got, ref)
+
+
+def test_fft_backend_selectable():
+    rng = np.random.default_rng(4)
+    feats, w, c = _rand_problem(rng, b=1, t=100, k=3, length=8)
+    got = np.asarray(
+        sliding_scores_backend(
+            jnp.asarray(feats[0]), jnp.asarray(w), jnp.asarray(c), backend="fft"
+        )
+    )
+    ref = _ref_scores(feats, w, c)[0]
+    _assert_close(got, ref)
+
+
+def test_fft_bank_is_jit_stable_pytree():
+    rng = np.random.default_rng(5)
+    _, w, c = _rand_problem(rng)
+    bank = build_fft_bank(jnp.asarray(w), jnp.asarray(c))
+    leaves, treedef = jax.tree_util.tree_flatten(bank)
+    bank2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert isinstance(bank2, FFTBank)
+    assert bank2.nfft == bank.nfft and bank2.length == bank.length
+
+
+def test_pick_nfft():
+    assert pick_nfft(32) == 256
+    assert pick_nfft(4) == 64
+    n = pick_nfft(2000)  # longer than the 1024 clamp: must still fit
+    assert n - 2000 + 1 > 0

@@ -57,3 +57,30 @@ def test_detections_deterministic(corpus):
     r2 = detect_corpus(corpus, bank, cfg, target_phone="iy")
     np.testing.assert_array_equal(r1.detections.scores, r2.detections.scores)
     np.testing.assert_array_equal(r1.detections.times, r2.detections.times)
+
+
+def test_fft_backend_end_to_end(corpus):
+    """config 1 with the frequency-domain scorer: same detections (to
+    bf16-class score tolerance) and equivalent accuracy as conv."""
+    cfg = PipelineConfig(detect=DetectConfig(score_backend="fft"))
+    bank = train_bank(corpus, ["aa"], cfg)
+    result = detect_corpus(corpus, bank, cfg, target_phone="aa")
+    metrics = evaluate_detections(result, cfg.detect.match_tolerance)
+    assert metrics["num_detections"] > 0
+    assert metrics["best_tpr"] >= 0.7, metrics
+
+    ref = detect_corpus(
+        corpus, bank, PipelineConfig(), target_phone="aa"
+    )
+    # Same top-1 detection per utterance (scores differ at bf16 level,
+    # ranks of well-separated peaks must not).
+    for utt in set(ref.detections.utterance_ids.tolist()):
+        sel_f = result.detections.utterance_ids == utt
+        sel_r = ref.detections.utterance_ids == utt
+        top_f = result.detections.times[sel_f][
+            np.argmax(result.detections.scores[sel_f])
+        ]
+        top_r = ref.detections.times[sel_r][
+            np.argmax(ref.detections.scores[sel_r])
+        ]
+        assert abs(int(top_f) - int(top_r)) <= 1
