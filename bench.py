@@ -21,8 +21,9 @@ Timing methodology: the tunneled PJRT on this machine adds a ~23 ms
 round trip to every host readback AND returns early from
 block_until_ready, so single-call timing is wrong in both directions.
 We therefore run the scorer R times inside one jit (inputs perturbed
-per step so XLA cannot hoist the work) for R in {2, 6} and take the
-slope (t6 - t2) / 4 -- the constant round trip cancels.
+per step so XLA cannot hoist the work) for R in {4, 16} and take the
+slope (t16 - t4) / 12 of the per-R minima -- the constant round trip
+cancels and tunnel stalls (which only ever add time) drop out.
 
 The CPU oracle runs ``oracle.score.sliding_score`` (float32 BLAS) on a
 scaled-down slice, extrapolated linearly in (K * T * B) -- both are
@@ -53,7 +54,7 @@ def _enable_compile_cache():
         pass  # older jax: flag names differ; cache is an optimization only
 
 
-def _slope_time(score_batch, feats, *operands, iters=4, reps=(2, 6)):
+def _slope_time(score_batch, feats, *operands, iters=8, reps=(4, 16)):
     """Per-call seconds of ``score_batch(feats, *operands)`` by the
     slope method (see module docstring).  Large arrays (bank spectra,
     filters) MUST be passed as ``operands``, never closed over --
@@ -91,7 +92,9 @@ def _slope_time(score_batch, feats, *operands, iters=4, reps=(2, 6)):
             t0 = time.perf_counter()
             float(fn(feats, *operands))
             times.append(time.perf_counter() - t0)
-        t_at[r] = float(np.median(times))
+        # min, not median: host/tunnel stalls only ever ADD time, so the
+        # fastest observation is the cleanest one at each R.
+        t_at[r] = float(np.min(times))
     return (t_at[reps[1]] - t_at[reps[0]]) / (reps[1] - reps[0])
 
 
@@ -201,7 +204,7 @@ def main() -> None:
         "tpu_effective_tflops": round(flops / dt_tpu / 1e12, 1),
         "cpu_oracle_audio_s_per_s": round(cpu_throughput, 2),
         "backend": backend,
-        "timing": "slope(r2,r6)",
+        "timing": "slope(r4,r16,min)",
     }
     print(json.dumps(result))
     sys.stdout.flush()
