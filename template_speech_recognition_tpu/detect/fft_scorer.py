@@ -52,19 +52,21 @@ import numpy as np
 
 
 def pick_nfft(length: int) -> int:
-    """Smallest power of two >= 8 * L, clamped to [64, 1024].
+    """(Power of two >= 8 * L, clamped to [64, 1024]) minus one.
 
     Larger nfft lowers per-output MXU work (4*bins/hop) but grows the
     template-spectra array (bins * 2D * K); 8x the template length is
-    the empirical sweet spot on v5e-class chips.
+    the empirical sweet spot on v5e-class chips.  The DFT here is a
+    GEMM, not an FFT, so nfft need not be composite: an ODD nfft gives
+    bins = (nfft+1)/2 -- a lane-aligned power of two (255 -> 128) with
+    no Nyquist special case.
     """
     n = 64
     while n < 8 * length and n < 1024:
         n *= 2
-    if n - length + 1 <= 0:  # degenerate: very long templates
-        while n - length + 1 <= 0:
-            n *= 2
-    return n
+    while n - 1 - length + 1 <= 0:  # degenerate: very long templates
+        n *= 2
+    return n - 1
 
 
 @jax.tree_util.register_dataclass
@@ -143,14 +145,49 @@ def build_fft_bank(
     )
 
 
-@jax.jit
-def fft_sliding_scores(feats: jnp.ndarray, bank: FFTBank) -> jnp.ndarray:
+def _round_up(n: int, q: int) -> int:
+    return ((n + q - 1) // q) * q
+
+
+def _binmm_pallas(xr, xi, w2):
+    """Fused pack + per-bin GEMM + (part, bin)-major output reorder via
+    ``ops.fft_binmm_pallas``, padding (m, D, K) up to its tile grid."""
+    from template_speech_recognition_tpu.ops.fft_binmm_pallas import (
+        fft_binmm_pallas,
+    )
+
+    bins, m, d = xr.shape
+    k = w2.shape[-1]
+    dc = 512 if d % 512 == 0 else (256 if d % 256 == 0 else 128)
+    mp, dp, kp = _round_up(m, 8), _round_up(d, dc), _round_up(k, 128)
+    if (mp, dp, kp) != (m, d, k):
+        pad_x = [(0, 0), (0, mp - m), (0, dp - d)]
+        xr = jnp.pad(xr, pad_x)
+        xi = jnp.pad(xi, pad_x)
+        w2 = jnp.pad(
+            w2.reshape(bins, 2, d, k),
+            [(0, 0), (0, 0), (0, dp - d), (0, kp - k)],
+        ).reshape(bins, 2 * dp, kp)
+    y = fft_binmm_pallas(xr, xi, w2, dc=dc)          # [2, bins, mp, kp]
+    return y[:, :, :m, :k]
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def fft_sliding_scores(
+    feats: jnp.ndarray, bank: FFTBank, use_pallas: bool | None = None
+) -> jnp.ndarray:
     """feats [B, T, F, E] (or [B, T, D]; bool/float) -> [B, K, T-L+1].
 
     Same output contract as ``jax.vmap(sliding_scores)``: window
     starts whose support overruns T read zero padding; callers mask
     them via ``detect.masked_scores``.
+
+    ``use_pallas`` selects the fused pack+bin-GEMM kernel
+    (``ops.fft_binmm_pallas``); default on for accelerator backends
+    (interpret-mode pallas is slow on CPU).
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
     length, nfft, d = bank.length, bank.nfft, bank.d
     mm = bank.w2.dtype
     b, t = feats.shape[0], feats.shape[1]
@@ -185,19 +222,22 @@ def fft_sliding_scores(feats: jnp.ndarray, bank: FFTBank) -> jnp.ndarray:
     ).astype(mm)  # [2*bins, m*D]
     xr = xf[:bins].reshape(bins, m, d)
     xi = xf[bins:].reshape(bins, m, d)
-    x2 = jnp.concatenate(
-        [
-            jnp.concatenate([xr, xi], axis=2),  # rows 0:m  -> yr
-            jnp.concatenate([xi, -xr], axis=2),  # rows m:2m -> yi
-        ],
-        axis=1,
-    )  # [bins, 2m, 2D]
-    y = jax.lax.dot_general(
-        x2, bank.w2, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ).astype(mm)  # [bins, 2m, K]
     k = bank.w2.shape[-1]
-    ycat = jnp.concatenate([y[:, :m], y[:, m:]], axis=0)  # [2*bins, m, K]
+    if use_pallas:
+        ycat = _binmm_pallas(xr, xi, bank.w2)  # [2, bins, m, K]
+    else:
+        x2 = jnp.concatenate(
+            [
+                jnp.concatenate([xr, xi], axis=2),  # rows 0:m  -> yr
+                jnp.concatenate([xi, -xr], axis=2),  # rows m:2m -> yi
+            ],
+            axis=1,
+        )  # [bins, 2m, 2D]
+        y = jax.lax.dot_general(
+            x2, bank.w2, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(mm)  # [bins, 2m, K]
+        ycat = jnp.stack([y[:, :m], y[:, m:]])  # [2, bins, m, K]
 
     icmat, ismat = _idft_mats(nfft, hop, mm)
     imat = jnp.concatenate([icmat, -ismat], axis=0)  # [2*bins, hop]

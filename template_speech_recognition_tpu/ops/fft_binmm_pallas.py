@@ -1,0 +1,120 @@
+"""Pallas TPU kernel: fused per-bin complex bank matmul for the
+frequency-domain scorer (``detect.fft_scorer``).
+
+Replaces three XLA passes with one kernel:
+
+  * the [Xr|Xi] / [Xi|-Xr] pack (a 474 MB HBM round trip at the bench
+    shape) is assembled on the fly in VMEM from the loaded xr/xi tiles;
+  * the per-bin batched GEMM  [2m, 2D] @ [2D, K]  accumulates in a VMEM
+    f32 scratch across D chunks;
+  * the yr/yi split+concat for the inverse DFT: the output is written
+    directly in the (part, bin)-major layout [2, bins, m, K] the iDFT
+    GEMM consumes.
+
+Grid (bins, 2D/dc), D-chunk innermost so each [2m, K] accumulator is
+revisited consecutively while xr/xi/w2 tiles stream double-buffered.
+The W2 spectra stream exactly once; xr/xi stream twice (once per half
+of the 2D contraction).
+
+Shape contract: m % 8 == 0, K % 128 == 0, D % dc == 0 (callers pad;
+``detect.fft_scorer`` keeps bins lane-aligned by choosing odd nfft =
+255 -> bins = 128 with no Nyquist special case -- the DFT here is a
+GEMM, not an FFT, so nfft need not be composite or even).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(xr_ref, xi_ref, w2_ref, out_ref, acc_ref, *, nd: int, m: int):
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _init():
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    first_half = c < nd
+    xr_t = xr_ref[0]                       # [m, dc]
+    xi_t = xi_ref[0]                       # [m, dc]
+    # rows 0:m  = Xr (first half of 2D) | Xi (second half)   -> yr
+    # rows m:2m = Xi (first half)       | -Xr (second half)  -> yi
+    top = jnp.where(first_half, xr_t, xi_t)
+    bot = jnp.where(first_half, xi_t, -xr_t)
+    x_t = jnp.concatenate([top, bot], axis=0)              # [2m, dc]
+    acc_ref[:, :] += jax.lax.dot_general(
+        x_t,
+        w2_ref[0],                                          # [dc, K]
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(c == pl.num_programs(1) - 1)
+    def _flush():
+        out_ref[:, 0, :, :] = (
+            acc_ref[:, :].reshape(2, m, out_ref.shape[-1])
+        ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("dc", "interpret"))
+def fft_binmm_pallas(
+    xr: jnp.ndarray,
+    xi: jnp.ndarray,
+    w2: jnp.ndarray,
+    dc: int = 512,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """xr, xi [bins, m, D] x W2 [bins, 2D, K] -> y [2, bins, m, K]
+    (bf16), where y[0] = Xr Wr + Xi Wi (real part of Xf * conj(Wf))
+    and y[1] = Xi Wr - Xr Wi (imag part), per frequency bin."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    bins, m, d = xr.shape
+    k = w2.shape[-1]
+    if w2.shape != (bins, 2 * d, k):
+        raise ValueError(f"w2 {w2.shape} != ({bins}, {2*d}, {k})")
+    if m % 8 or k % 128 or d % dc:
+        raise ValueError(f"bad tile alignment: m={m} k={k} d={d} dc={dc}")
+    nd = d // dc
+    grid = (bins, 2 * nd)
+
+    flops = 2 * bins * 2 * m * 2 * d * k
+    bytes_accessed = (
+        2 * (xr.size + xi.size) * xr.dtype.itemsize
+        + w2.size * w2.dtype.itemsize
+        + 2 * bins * m * k * 2
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, nd=nd, m=m),
+        out_shape=jax.ShapeDtypeStruct((2, bins, m, k), jnp.bfloat16),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, m, dc),
+                lambda f, c, _nd=nd: (f, 0, jnp.where(c < _nd, c, c - _nd)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, m, dc),
+                lambda f, c, _nd=nd: (f, 0, jnp.where(c < _nd, c, c - _nd)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, dc, k), lambda f, c: (f, c, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (2, 1, m, k), lambda f, c: (0, f, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((2 * m, k), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=int(flops), bytes_accessed=int(bytes_accessed),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xr, xi, w2)

@@ -106,7 +106,48 @@ def test_fft_bank_is_jit_stable_pytree():
 
 
 def test_pick_nfft():
-    assert pick_nfft(32) == 256
-    assert pick_nfft(4) == 64
+    # odd nfft: bins = (nfft+1)/2 is a lane-aligned power of two
+    assert pick_nfft(32) == 255
+    assert pick_nfft(4) == 63
     n = pick_nfft(2000)  # longer than the 1024 clamp: must still fit
     assert n - 2000 + 1 > 0
+    for length in (4, 32, 2000):
+        assert pick_nfft(length) % 2 == 1
+
+
+def test_fft_pallas_binmm_matches_xla():
+    """Fused pallas pack+bin-GEMM kernel == XLA path (interpret on CPU),
+    exercising (m, D, K) padding with deliberately unaligned shapes."""
+    rng = np.random.default_rng(6)
+    feats, w, c = _rand_problem(rng, b=3, t=260, k=5, length=12, f=17, e=3)
+    bank = build_fft_bank(jnp.asarray(w), jnp.asarray(c), nfft=127)
+    got_p = np.asarray(
+        fft_sliding_scores(jnp.asarray(feats), bank, use_pallas=True)
+    )
+    got_x = np.asarray(
+        fft_sliding_scores(jnp.asarray(feats), bank, use_pallas=False)
+    )
+    scale = np.max(np.abs(got_x)) + 1e-6
+    np.testing.assert_allclose(got_p / scale, got_x / scale, atol=2e-3)
+    ref = _ref_scores(feats, w, c)
+    _assert_close(got_p, ref)
+
+
+def test_fft_pallas_binmm_aligned_shapes():
+    rng = np.random.default_rng(7)
+    bins, m, d, k = 8, 16, 256, 128
+    xr = jnp.asarray(rng.normal(size=(bins, m, d)).astype(np.float32))
+    xi = jnp.asarray(rng.normal(size=(bins, m, d)).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(size=(bins, 2 * d, k)).astype(np.float32))
+    from template_speech_recognition_tpu.ops.fft_binmm_pallas import (
+        fft_binmm_pallas,
+    )
+
+    y = np.asarray(fft_binmm_pallas(xr, xi, w2, dc=128))
+    wr, wi = np.asarray(w2[:, :d]), np.asarray(w2[:, d:])
+    xr_n, xi_n = np.asarray(xr), np.asarray(xi)
+    yr = np.einsum("fmd,fdk->fmk", xr_n, wr) + np.einsum("fmd,fdk->fmk", xi_n, wi)
+    yi = np.einsum("fmd,fdk->fmk", xi_n, wr) - np.einsum("fmd,fdk->fmk", xr_n, wi)
+    scale = np.max(np.abs(yr)) + 1e-6
+    np.testing.assert_allclose(y[0] / scale, yr / scale, atol=2e-2)
+    np.testing.assert_allclose(y[1] / scale, yi / scale, atol=2e-2)
