@@ -55,11 +55,12 @@ def pick_nfft(length: int) -> int:
     """(Power of two >= 8 * L, clamped to [64, 1024]) minus one.
 
     Larger nfft lowers per-output MXU work (4*bins/hop) but grows the
-    template-spectra array (bins * 2D * K); 8x the template length is
-    the empirical sweet spot on v5e-class chips.  The DFT here is a
-    GEMM, not an FFT, so nfft need not be composite: an ODD nfft gives
-    bins = (nfft+1)/2 -- a lane-aligned power of two (255 -> 128) with
-    no Nyquist special case.
+    template-spectra array (bins * 2D * K).  The DFT here is a GEMM,
+    not an FFT, so nfft need not be composite or even: odd nfft gives
+    bins = (nfft+1)/2, a lane-aligned power of two (255 -> 128) with
+    no Nyquist special case.  Swept on a v5e-class chip at the bench
+    shape (L=32): 255 beats 159/223/287/415/543 by 8-60% -- both the
+    power-of-two bins and the ~7x-L hop matter.
     """
     n = 64
     while n < 8 * length and n < 1024:
@@ -223,6 +224,8 @@ def fft_sliding_scores(
     xr = xf[:bins].reshape(bins, m, d)
     xi = xf[bins:].reshape(bins, m, d)
     k = bank.w2.shape[-1]
+    icmat, ismat = _idft_mats(nfft, hop, mm)
+    imat = jnp.concatenate([icmat, -ismat], axis=0)  # [2*bins, hop]
     if use_pallas:
         ycat = _binmm_pallas(xr, xi, bank.w2)  # [2, bins, m, K]
     else:
@@ -239,8 +242,17 @@ def fft_sliding_scores(
         ).astype(mm)  # [bins, 2m, K]
         ycat = jnp.stack([y[:, :m], y[:, m:]])  # [2, bins, m, K]
 
-    icmat, ismat = _idft_mats(nfft, hop, mm)
-    imat = jnp.concatenate([icmat, -ismat], axis=0)  # [2*bins, hop]
+    if use_pallas and hop % 128 == 0:
+        from template_speech_recognition_tpu.ops.fft_idft_pallas import (
+            fft_idft_pallas,
+        )
+
+        scores = fft_idft_pallas(
+            ycat.reshape(2 * bins, m * k), imat, bank.c, nblk
+        )  # [B, K, nblk*hop], transpose + (+c) fused
+        return scores[:, :, :tout]
+    # XLA epilogue (CPU path, or explicit nfft override with
+    # lane-unaligned hop)
     scores = jax.lax.dot_general(
         imat.T, ycat.reshape(2 * bins, m * k),
         (((1,), (0,)), ((), ())),

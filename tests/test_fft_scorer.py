@@ -151,3 +151,21 @@ def test_fft_pallas_binmm_aligned_shapes():
     scale = np.max(np.abs(yr)) + 1e-6
     np.testing.assert_allclose(y[0] / scale, yr / scale, atol=2e-2)
     np.testing.assert_allclose(y[1] / scale, yi / scale, atol=2e-2)
+
+
+def test_fft_pallas_idft_epilogue_matches_xla():
+    """Fused iDFT+transpose+bias kernel == XLA epilogue (default nfft
+    has lane-aligned hop, so the pallas path takes the fused branch)."""
+    rng = np.random.default_rng(8)
+    feats, w, c = _rand_problem(rng, b=2, t=300, k=6, length=12)
+    bank = build_fft_bank(jnp.asarray(w), jnp.asarray(c), nfft=139)
+    assert (bank.nfft - bank.length + 1) % 128 == 0
+    got_p = np.asarray(
+        fft_sliding_scores(jnp.asarray(feats), bank, use_pallas=True)
+    )
+    got_x = np.asarray(
+        fft_sliding_scores(jnp.asarray(feats), bank, use_pallas=False)
+    )
+    scale = np.max(np.abs(got_x)) + 1e-6
+    np.testing.assert_allclose(got_p / scale, got_x / scale, atol=2e-3)
+    _assert_close(got_p, _ref_scores(feats, w, c))
