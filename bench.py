@@ -132,7 +132,10 @@ def _measure_tpu(shape, backend="fft"):
         jax.block_until_ready(bank.w2)
 
         def score_batch(fb, bk):
-            return jnp.sum(fft_sliding_scores(fb, bk))
+            # time_major: the fused epilogue's native layout (NMS and
+            # masking consume it directly in production -- no transpose
+            # exists anywhere in the scoring path)
+            return jnp.sum(fft_sliding_scores(fb, bk, time_major=True))
 
         return _slope_time(score_batch, fj, bank)
 

@@ -173,19 +173,26 @@ def _binmm_pallas(xr, xi, w2):
     return y[:, :, :m, :k]
 
 
-@functools.partial(jax.jit, static_argnames=("use_pallas",))
+@functools.partial(jax.jit, static_argnames=("use_pallas", "time_major"))
 def fft_sliding_scores(
-    feats: jnp.ndarray, bank: FFTBank, use_pallas: bool | None = None
+    feats: jnp.ndarray,
+    bank: FFTBank,
+    use_pallas: bool | None = None,
+    time_major: bool = False,
 ) -> jnp.ndarray:
-    """feats [B, T, F, E] (or [B, T, D]; bool/float) -> [B, K, T-L+1].
+    """feats [B, T, F, E] (or [B, T, D]; bool/float) -> [B, K, T-L+1]
+    (or [B, T-L+1, K] with ``time_major``).
 
     Same output contract as ``jax.vmap(sliding_scores)``: window
     starts whose support overruns T read zero padding; callers mask
     them via ``detect.masked_scores``.
 
-    ``use_pallas`` selects the fused pack+bin-GEMM kernel
-    (``ops.fft_binmm_pallas``); default on for accelerator backends
-    (interpret-mode pallas is slow on CPU).
+    ``use_pallas`` selects the fused pallas kernels
+    (``ops.fft_dft_pallas``/``fft_binmm_pallas``/``fft_idft_pallas``);
+    default on for accelerator backends (interpret-mode pallas is slow
+    on CPU).  ``time_major=True`` returns the fused epilogue's NATIVE
+    layout with zero transposes anywhere in the path; ``detect.nms``
+    and ``detect.masked_scores`` accept it directly.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
@@ -205,24 +212,44 @@ def fft_sliding_scores(
     tneed = nblk * hop + halo
     xp = jnp.zeros((b, tneed, d), mm)
     xp = xp.at[:, : min(t, tneed)].set(x[:, :tneed].astype(mm))
-    chunks = xp[:, : nblk * hop].reshape(b, nblk, hop, d)
-    # halo rows of block i = first L-1 rows of block i+1 (pad tail last)
-    halos = jnp.concatenate(
-        [chunks[:, 1:, :halo], xp[:, nblk * hop :][:, None]], axis=1
-    )
-    blocks = jnp.concatenate([chunks, halos], axis=2)  # [B, nblk, nfft, D]
-    bt = (
-        jnp.transpose(blocks.reshape(m, nfft, d), (1, 0, 2))
-        .reshape(nfft, m * d)
-    )
-
     cmat, smat = _dft_mats(nfft, mm)
     g = jnp.concatenate([cmat, -smat], axis=1)  # [nfft, 2*bins]
-    xf = jax.lax.dot_general(
-        g.T, bt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(mm)  # [2*bins, m*D]
-    xr = xf[:bins].reshape(bins, m, d)
-    xi = xf[bins:].reshape(bins, m, d)
+
+    dft_dc = next(
+        (
+            c
+            for c in (512, 256, 128)
+            if d % c == 0 and tneed * c * 2 <= 4 * 1024 * 1024
+        ),
+        None,
+    )
+    if use_pallas and hop % 16 == 0 and dft_dc is not None:
+        # fused block-extract + forward DFT (no transpose pass)
+        from template_speech_recognition_tpu.ops.fft_dft_pallas import (
+            fft_block_dft_pallas,
+        )
+
+        xr4, xi4 = fft_block_dft_pallas(xp, g, nfft, hop, nblk, dc=dft_dc)
+        xr = xr4.reshape(bins, m, d)
+        xi = xi4.reshape(bins, m, d)
+    else:
+        chunks = xp[:, : nblk * hop].reshape(b, nblk, hop, d)
+        # halo rows of block i = first L-1 rows of block i+1 (pad tail
+        # last)
+        halos = jnp.concatenate(
+            [chunks[:, 1:, :halo], xp[:, nblk * hop :][:, None]], axis=1
+        )
+        blocks = jnp.concatenate([chunks, halos], axis=2)  # [B,nblk,nfft,D]
+        bt = (
+            jnp.transpose(blocks.reshape(m, nfft, d), (1, 0, 2))
+            .reshape(nfft, m * d)
+        )
+        xf = jax.lax.dot_general(
+            g.T, bt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(mm)  # [2*bins, m*D]
+        xr = xf[:bins].reshape(bins, m, d)
+        xi = xf[bins:].reshape(bins, m, d)
     k = bank.w2.shape[-1]
     icmat, ismat = _idft_mats(nfft, hop, mm)
     imat = jnp.concatenate([icmat, -ismat], axis=0)  # [2*bins, hop]
@@ -242,22 +269,29 @@ def fft_sliding_scores(
         ).astype(mm)  # [bins, 2m, K]
         ycat = jnp.stack([y[:, :m], y[:, m:]])  # [2, bins, m, K]
 
-    if use_pallas and hop % 128 == 0:
+    if use_pallas and hop % 8 == 0:
         from template_speech_recognition_tpu.ops.fft_idft_pallas import (
             fft_idft_pallas,
         )
 
-        scores = fft_idft_pallas(
+        scores_t = fft_idft_pallas(
             ycat.reshape(2 * bins, m * k), imat, bank.c, nblk
-        )  # [B, K, nblk*hop], transpose + (+c) fused
-        return scores[:, :, :tout]
+        )  # [B, nblk*hop, K] time-major, iDFT + reassembly + (+c) fused
+        if time_major:
+            return scores_t[:, :tout]
+        return jnp.swapaxes(scores_t[:, :tout], 1, 2)
     # XLA epilogue (CPU path, or explicit nfft override with
-    # lane-unaligned hop)
+    # sublane-unaligned hop)
     scores = jax.lax.dot_general(
         imat.T, ycat.reshape(2 * bins, m * k),
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [hop, m*K]
     scores = scores.reshape(hop, b, nblk, k)
+    if time_major:
+        scores = jnp.transpose(scores, (1, 2, 0, 3)).reshape(
+            b, nblk * hop, k
+        )
+        return scores[:, :tout] + bank.c[None, None, :]
     scores = jnp.transpose(scores, (1, 3, 2, 0)).reshape(b, k, nblk * hop)
     return scores[:, :, :tout] + bank.c[None, :, None]

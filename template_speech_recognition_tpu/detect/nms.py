@@ -49,22 +49,27 @@ def nms_mask(scores: jnp.ndarray, radius: int) -> jnp.ndarray:
     return (scores > left) & (scores >= right)
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "top_k"))
+@functools.partial(jax.jit, static_argnames=("radius", "top_k", "time_major"))
 def top_detections(
     scores: jnp.ndarray,
     radius: int,
     top_k: int,
+    time_major: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Bank scores [K, T''] -> fixed-size detections.
+    """Bank scores [K, T''] (or [T'', K] with ``time_major``) ->
+    fixed-size detections.
 
     Reduces over templates (max; ties -> lowest template id, matching
     ``oracle.detect.bank_nms``), applies time NMS, then top-K by
     (score desc, time asc).  Returns (scores [top_k] float32,
     times [top_k] int32, template_ids [top_k] int32); suppressed /
-    absent slots have score -inf.
+    absent slots have score -inf.  ``time_major`` matches the native
+    layout of the fused FFT-scorer epilogue (``ops.fft_idft_pallas``)
+    so no transpose sits between scoring and NMS.
     """
-    best = jnp.max(scores, axis=0)
-    best_k = jnp.argmax(scores, axis=0).astype(jnp.int32)
+    k_axis = 1 if time_major else 0
+    best = jnp.max(scores, axis=k_axis)
+    best_k = jnp.argmax(scores, axis=k_axis).astype(jnp.int32)
     keep = nms_mask(best, radius)
     neg = jnp.float32(-jnp.inf)
     masked = jnp.where(keep, best.astype(jnp.float32), neg)

@@ -219,13 +219,18 @@ def masked_scores(
     valid_frames: jnp.ndarray,
     template_length: int,
     fill=-jnp.inf,
+    time_major: bool = False,
 ) -> jnp.ndarray:
     """-inf (or ``fill``) scores whose window overruns the valid region.
 
     Valid window starts: t <= valid_frames - template_length.
-    scores [..., T'']; valid_frames scalar.
+    scores [..., T''] (or [T'', K] with ``time_major``, the native
+    layout of the FFT scorer's fused epilogue); valid_frames scalar.
     """
-    n_win = scores.shape[-1]
+    t_axis = 0 if time_major else -1
+    n_win = scores.shape[t_axis]
     t_idx = jnp.arange(n_win, dtype=jnp.int32)
     ok = t_idx <= (valid_frames.astype(jnp.int32) - template_length)
+    if time_major:
+        ok = ok.reshape((n_win,) + (1,) * (scores.ndim - 1))
     return jnp.where(ok, scores, jnp.asarray(fill, scores.dtype))

@@ -1,21 +1,21 @@
 """Pallas TPU kernel: fused inverse-DFT epilogue for the
 frequency-domain scorer (``detect.fft_scorer``).
 
-Replaces three XLA passes with one kernel:
+Replaces the inverse-DFT GEMM, the blocks->time reassembly transpose,
+and the per-template score-offset add with one kernel.  Each grid step
+computes one (block j, K-tile) score tile as
 
-  * the inverse-DFT GEMM  [hop, 2*bins] @ [2*bins, m*K]
-  * the [hop, B, nblk, K] -> [B, K, nblk*hop] transpose (a ~200 MB
-    HBM round trip at the bench shape)
-  * the per-template score offset add (+c)
+    imat^T @ Y_tile + c        ->  [hop, bk]
 
-Each grid step computes one (block j, K-tile) output tile as
-``Y_tile^T @ imat + c`` -- a [bk, 2*bins] @ [2*bins, hop] matmul whose
-result is ALREADY in the caller's [B, K, T] layout, written straight
-to its (utterance, K-tile, block) slot via the output index map
-(j // nblk, kt, j % nblk).  No transpose pass exists at all.
+and writes it straight into a TIME-MAJOR [B, nblk*hop, K] output via
+the index map (j // nblk, j % nblk, kt).  Time-major is the trick: the
+tile's sublane axis is hop (any multiple of 8) and its lane axis is
+the K tile (multiple of 128), so no lane-alignment constraint falls on
+hop and the kernel engages at the default nfft = 255 (hop = 224).  The
+caller pays one cheap [B, T, K] -> [B, K, T] transpose at the end --
+far cheaper than the GEMM + 4-D transpose + bias passes this replaces.
 
-Shape contract: K % bk == 0; 2*bins is the contraction (any size the
-MXU takes; the scorer keeps it lane-aligned at 256 via odd nfft).
+Shape contract: hop % 8 == 0; K % bk == 0 (bk falls back to K).
 """
 
 from __future__ import annotations
@@ -30,12 +30,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(y_ref, imat_ref, c_ref, out_ref):
     acc = jax.lax.dot_general(
-        y_ref[:, :],                     # [2*bins, bk]
         imat_ref[:, :],                  # [2*bins, hop]
+        y_ref[:, :],                     # [2*bins, bk]
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                                    # [bk, hop]
-    out_ref[0] = acc + c_ref[0][:, None]
+    )                                    # [hop, bk]
+    out_ref[0] = acc + c_ref[0][None, :]
 
 
 @functools.partial(jax.jit, static_argnames=("nblk", "bk", "interpret"))
@@ -48,8 +48,8 @@ def fft_idft_pallas(
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """ycat [2*bins, m*K] x imat [2*bins, hop] + c [K]
-    -> scores [B, K, nblk*hop], where m = B*nblk and ycat columns are
-    (block-major, template-minor)."""
+    -> scores [B, nblk*hop, K] (TIME-major), where m = B*nblk and ycat
+    columns are (block-major, template-minor)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     two_bins, mk = ycat.shape
@@ -60,6 +60,8 @@ def fft_idft_pallas(
     m = mk // k
     if m % nblk:
         raise ValueError(f"m {m} not a multiple of nblk {nblk}")
+    if hop % 8:
+        raise ValueError(f"hop {hop} not sublane-aligned")
     b = m // nblk
     if k % bk:
         bk = 128 if k % 128 == 0 else k
@@ -74,7 +76,7 @@ def fft_idft_pallas(
     )
     return pl.pallas_call(
         _kernel,
-        out_shape=jax.ShapeDtypeStruct((b, k, nblk * hop), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, nblk * hop, k), jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -90,8 +92,8 @@ def fft_idft_pallas(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, bk, hop),
-            lambda j, kt, _nblk=nblk: (j // _nblk, kt, j % _nblk),
+            (1, hop, bk),
+            lambda j, kt, _nblk=nblk: (j // _nblk, j % _nblk, kt),
             memory_space=pltpu.VMEM,
         ),
         cost_estimate=pl.CostEstimate(

@@ -340,12 +340,23 @@ def detect_corpus(
                 fft_sliding_scores,
             )
 
-            scores = fft_sliding_scores(feat_map[None], fft_bank)[0]
+            # time-major end to end: the fused FFT epilogue's native
+            # layout flows through masking and NMS with no transpose.
+            scores_t = fft_sliding_scores(
+                feat_map[None], fft_bank, time_major=True
+            )[0]
+            scores = masked_scores(
+                scores_t, valid, bank.template_length, time_major=True
+            )
         else:
             scores = sliding_scores(feat_map, w, c)
-        scores = masked_scores(scores, valid, bank.template_length)
+        if fft_bank is None:
+            scores = masked_scores(scores, valid, bank.template_length)
         stats.add("windows_scored", float(int(valid)) * bank.num_templates)
-        s, t, k = top_detections(scores, dcfg.nms_radius, dcfg.top_k)
+        s, t, k = top_detections(
+            scores, dcfg.nms_radius, dcfg.top_k,
+            time_major=fft_bank is not None,
+        )
         if dcfg.dtw_rescore:
             w_rows, c_rows = bank.llr_rows()
             m_seg = bank.template_length + cfg.dtw.band

@@ -169,3 +169,53 @@ def test_fft_pallas_idft_epilogue_matches_xla():
     scale = np.max(np.abs(got_x)) + 1e-6
     np.testing.assert_allclose(got_p / scale, got_x / scale, atol=2e-3)
     _assert_close(got_p, _ref_scores(feats, w, c))
+
+
+def test_fft_pallas_block_dft_matches_xla():
+    """Fused block-extract+DFT kernel path == XLA path.  length=17 ->
+    default nfft 255, hop 239 (hop % 16 != 0 -> XLA); explicit nfft 256
+    -> hop 240 (16-aligned -> kernel engages)."""
+    rng = np.random.default_rng(9)
+    feats, w, c = _rand_problem(rng, b=2, t=500, k=4, length=17, f=16, e=8)
+    bank = build_fft_bank(jnp.asarray(w), jnp.asarray(c), nfft=256)
+    assert (bank.nfft - bank.length + 1) % 16 == 0 and bank.d % 128 == 0
+    got_p = np.asarray(
+        fft_sliding_scores(jnp.asarray(feats), bank, use_pallas=True)
+    )
+    got_x = np.asarray(
+        fft_sliding_scores(jnp.asarray(feats), bank, use_pallas=False)
+    )
+    scale = np.max(np.abs(got_x)) + 1e-6
+    np.testing.assert_allclose(got_p / scale, got_x / scale, atol=2e-3)
+    _assert_close(got_p, _ref_scores(feats, w, c))
+
+
+def test_fft_time_major_consistent():
+    """time_major output == transpose of default, through both the
+    pallas and XLA epilogues; NMS/masking accept it directly."""
+    from template_speech_recognition_tpu.detect import masked_scores, top_detections
+
+    rng = np.random.default_rng(10)
+    feats, w, c = _rand_problem(rng, b=2, t=300, k=6, length=12)
+    bank = build_fft_bank(jnp.asarray(w), jnp.asarray(c))
+    for up in (True, False):
+        kt = np.asarray(
+            fft_sliding_scores(jnp.asarray(feats), bank, use_pallas=up)
+        )
+        tm = np.asarray(
+            fft_sliding_scores(
+                jnp.asarray(feats), bank, use_pallas=up, time_major=True
+            )
+        )
+        np.testing.assert_allclose(np.swapaxes(tm, 1, 2), kt, atol=1e-5)
+
+    sc = fft_sliding_scores(jnp.asarray(feats), bank)
+    sc_t = fft_sliding_scores(jnp.asarray(feats), bank, time_major=True)
+    valid = jnp.int32(feats.shape[1] - 30)
+    m0 = masked_scores(sc[0], valid, bank.length)
+    m1 = masked_scores(sc_t[0], valid, bank.length, time_major=True)
+    np.testing.assert_allclose(np.asarray(m0), np.asarray(m1).T, atol=1e-5)
+    d0 = top_detections(m0, 5, 8)
+    d1 = top_detections(m1, 5, 8, time_major=True)
+    for a, b in zip(d0, d1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
