@@ -14,10 +14,14 @@ from template_speech_recognition_tpu.parallel.ring import (
     ring_bank_scores,
     channel_parallel_scores,
 )
+from template_speech_recognition_tpu.parallel.fft_sharded import (
+    sharded_fft_bank_scores,
+)
 
 __all__ = [
     "detect_corpus_sharded",
     "ring_bank_scores",
+    "sharded_fft_bank_scores",
     "channel_parallel_scores",
     "build_mesh",
     "local_mesh",
