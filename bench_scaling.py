@@ -5,8 +5,10 @@ BASELINE.json:5: "Report audio-seconds/s scaling efficiency at 1 chip,
 
 * initializes multi-host JAX if a pod environment is detected
   (``parallel.bootstrap.initialize_distributed``),
-* runs ``parallel.sharded_bank_scores`` on meshes of 1, 2, ..., all
-  devices (bank-sharded by default; override axes via env),
+* runs ``parallel.sharded_bank_scores`` (or the frequency-domain
+  fast path ``parallel.sharded_fft_bank_scores`` with
+  SCALE_BACKEND=fft) on meshes of 1, 2, ..., all devices
+  (bank-sharded by default; override axes via env),
 * prints one JSON line per mesh size plus a final summary line with
   ``efficiency[n] = throughput[n] / (n * throughput[1])``.
 
@@ -15,7 +17,7 @@ numbers require a pod; run with
 ``XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu``
 to exercise the logic on fake devices (numbers then measure CPU, not
 TPU).  Env knobs: SCALE_B / SCALE_T / SCALE_K / SCALE_L, SCALE_AXIS
-(bank | data | time).
+(bank | data | time), SCALE_BACKEND (conv | fft).
 """
 
 from __future__ import annotations
@@ -36,6 +38,7 @@ def main() -> None:
     from template_speech_recognition_tpu.parallel import (
         build_mesh,
         sharded_bank_scores,
+        sharded_fft_bank_scores,
     )
     from template_speech_recognition_tpu.parallel.bootstrap import (
         initialize_distributed,
@@ -48,6 +51,7 @@ def main() -> None:
     k = int(os.environ.get("SCALE_K", 1024))
     length = int(os.environ.get("SCALE_L", 32))
     axis = os.environ.get("SCALE_AXIS", "bank")
+    backend = os.environ.get("SCALE_BACKEND", "conv")
     f, e = 64, 8
     hop_seconds = 0.010
 
@@ -59,6 +63,12 @@ def main() -> None:
         rng.standard_normal((k, length, f, e)).astype(np.float32), jnp.bfloat16
     )
     c = jnp.asarray(rng.standard_normal((k,)).astype(np.float32))
+    if backend == "fft":
+        from template_speech_recognition_tpu.detect.fft_scorer import (
+            build_fft_bank,
+        )
+
+        fbank = build_fft_bank(w, c)
 
     n_dev = len(jax.devices())
     sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_dev]
@@ -69,7 +79,10 @@ def main() -> None:
         mesh = build_mesh(MeshConfig(**cfg), devices=jax.devices()[:n])
 
         def run():
-            out = sharded_bank_scores(feats, w, c, mesh)
+            if backend == "fft":
+                out = sharded_fft_bank_scores(feats, fbank, mesh)
+            else:
+                out = sharded_bank_scores(feats, w, c, mesh)
             return float(jnp.sum(out))  # forced readback completes the step
 
         run()  # compile + warmup
@@ -82,11 +95,12 @@ def main() -> None:
         thr = b * t * hop_seconds / dt
         results[n] = thr
         print(json.dumps({
-            "mesh_devices": n, "axis": axis,
+            "mesh_devices": n, "axis": axis, "backend": backend,
             "audio_s_per_s": round(thr, 1), "step_ms": round(dt * 1e3, 2),
         }))
     summary = {
         "metric": "scaling_efficiency_" + axis,
+        "backend": backend,
         "devices": sizes,
         "audio_s_per_s": [round(results[n], 1) for n in sizes],
         "efficiency": [
