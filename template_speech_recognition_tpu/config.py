@@ -69,7 +69,12 @@ class DetectConfig:
     time_block: int = 512          # frames per scoring block
     dtw_rescore: bool = False      # config 4: DTW-rescore the top-K peaks
     exact_scores: bool = False     # int32 fixed-point scoring (bit-parity)
-    score_backend: str = "conv"    # conv | fft | pallas (detect.scorer)
+    # Production default: frequency-domain overlap-save scoring
+    # (detect.fft_scorer, ~14x less MXU work than the direct conv at
+    # L = 32).  The pipeline auto-falls-back to conv for parts-coded
+    # features and the bit-parity path.  conv | fft | pallas.
+    score_backend: str = "fft"
+    batch_size: int = 8            # utterances per jitted scan step
 
 
 @dataclasses.dataclass(frozen=True)

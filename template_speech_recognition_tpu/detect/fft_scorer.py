@@ -129,11 +129,20 @@ def build_fft_bank(
     w: jnp.ndarray,
     c: jnp.ndarray,
     nfft: int | None = None,
-    mm_dtype=jnp.bfloat16,
+    mm_dtype=None,
 ) -> FFTBank:
     """One-time per-bank setup: W [K, L, F, E] (or [K, L, D]) + c [K]
     -> frequency-domain bank.  Analogous to the LLR filter build -- do
-    it once, score many utterances."""
+    it once, score many utterances.
+
+    ``mm_dtype=None`` resolves per backend: bfloat16 on accelerators
+    (the MXU's native throughput dtype; binary features are exact in
+    bf16) and float32 on CPU, where bf16 GEMMs are emulated and slow
+    and the f32 path keeps scores allclose to the direct conv."""
+    if mm_dtype is None:
+        mm_dtype = (
+            jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+        )
     k, length = w.shape[0], w.shape[1]
     d = int(np.prod(w.shape[2:]))
     if nfft is None:
@@ -242,7 +251,16 @@ def fft_sliding_scores(
         xr4, xi4 = fft_block_dft_pallas(
             x.astype(mm), g, nfft, hop, nblk, dc=dft_dc
         )
-        if m % 8 == 0 and bank.w2.shape[-1] % 128 == 0 and d % 128 == 0:
+        # The bin-matmul kernel collapses its (B, nblk, dc) block to
+        # (m, dc); that collapse is layout-trivial only when B == 1 or
+        # nblk is sublane-aligned -- otherwise Mosaic may reject the
+        # reshape or insert a relayout, so drop to 3-D.
+        if (
+            m % 8 == 0
+            and (b == 1 or nblk % 8 == 0)
+            and bank.w2.shape[-1] % 128 == 0
+            and d % 128 == 0
+        ):
             xr, xi = xr4, xi4  # stay 4-D: zero reshapes between kernels
         else:
             xr = xr4.reshape(bins, m, d)
@@ -270,6 +288,14 @@ def fft_sliding_scores(
     k = bank.w2.shape[-1]
     icmat, ismat = _idft_mats(nfft, hop, mm)
     imat = jnp.concatenate([icmat, -ismat], axis=0)  # [2*bins, hop]
+
+    def _binmm_vmem_ok(dc_, m_, k_):
+        # w2 tiles + xr/xi blocks + f32 accumulator & bf16 out block
+        return (
+            dc_ * k_ * 4 + 8 * m_ * dc_ + 12 * m_ * k_ <= 80 * 1024 * 1024
+        )
+
+    ycat = None
     if use_pallas and xr.ndim == 4:
         # fully-aligned fast path: 4-D shapes flow between the three
         # kernels with no reshape/relayout/pad anywhere
@@ -278,12 +304,21 @@ def fft_sliding_scores(
         )
 
         bin_dc = next(c for c in (2048, 1024, 512, 256, 128) if d % c == 0)
-        while bin_dc * k * 4 + 8 * m * bin_dc + 12 * m * k > 80 * 1024 * 1024:
+        while bin_dc > 128 and not _binmm_vmem_ok(bin_dc, m, k):
             bin_dc //= 2  # keep tiles + accumulator inside VMEM
-        ycat = fft_binmm_pallas(xr, xi, bank.w2, dc=bin_dc)
-    elif use_pallas:
+        if _binmm_vmem_ok(bin_dc, m, k):
+            ycat = fft_binmm_pallas(xr, xi, bank.w2, dc=bin_dc)
+        else:
+            # the shape-independent [2m, K] accumulator alone overruns
+            # VMEM (very long utterances x large K): no dc fits -- fall
+            # through to the XLA bin-matmul below
+            xr = xr.reshape(bins, m, d)
+            xi = xi.reshape(bins, m, d)
+    if ycat is None and use_pallas and _binmm_vmem_ok(
+        128, _round_up(m, 8), _round_up(k, 128)
+    ):
         ycat = _binmm_pallas(xr, xi, bank.w2)  # [2, bins, m, K]
-    else:
+    if ycat is None:
         x2 = jnp.concatenate(
             [
                 jnp.concatenate([xr, xi], axis=2),  # rows 0:m  -> yr
@@ -297,7 +332,10 @@ def fft_sliding_scores(
         ).astype(mm)  # [bins, 2m, K]
         ycat = jnp.stack([y[:, :m], y[:, m:]])  # [2, bins, m, K]
 
-    if use_pallas and hop % 8 == 0:
+    # The fused iDFT kernel needs its K tile lane-aligned (or the whole
+    # [2*bins, m*K] array as one block when m == 1); small banks fall
+    # back to the XLA epilogue.
+    if use_pallas and hop % 8 == 0 and (k % 128 == 0 or m == 1):
         from template_speech_recognition_tpu.ops.fft_idft_pallas import (
             fft_idft_pallas,
         )

@@ -68,7 +68,7 @@ def frontend(
     num_valid_samples: jnp.ndarray,
     cfg: FrontendConfig,
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
-    use_pallas: bool = False,
+    use_pallas: bool | None = None,
 ) -> FeatureMap:
     """Padded waveform [S] + valid count -> FeatureMap.
 
@@ -78,7 +78,11 @@ def frontend(
     section 4 item 3).  ``use_pallas`` routes the DFT+log+edge stage
     through the fused Pallas kernel (log-magnitude path only; the mel
     variant and non-lane-aligned nfft fall back to the XLA path).
+    Default ``None`` = on for accelerator backends (production fast
+    path), off on CPU where interpret-mode pallas is slow.
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
     if use_pallas and not cfg.use_mel and (cfg.nfft // 2) % 128 == 0:
         resp = _edge_responses_fused(waveform, cfg)
     else:
@@ -96,13 +100,61 @@ def frontend(
     return FeatureMap(binary, valid_frames)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "precision"))
+@functools.partial(jax.jit, static_argnames=("cfg", "precision", "use_pallas"))
 def frontend_batch(
     waveforms: jnp.ndarray,
     num_valid_samples: jnp.ndarray,
     cfg: FrontendConfig,
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+    use_pallas: bool | None = None,
 ) -> FeatureMap:
-    """[B, S] + [B] -> FeatureMap with leading batch axis (vmap)."""
-    fn = functools.partial(frontend.__wrapped__, cfg=cfg, precision=precision)
+    """[B, S] + [B] -> FeatureMap with leading batch axis.
+
+    On the fused-pallas path the batch flattens into the kernel's time
+    grid (one kernel launch for the whole batch, B x more tiles to
+    pipeline) instead of vmapping the pallas_call.  Tile-adjacency
+    contamination at utterance boundaries only ever reaches the final
+    (already-masked) edge row of each utterance, because every
+    utterance contributes a full 128-aligned tile block.  The
+    per-utterance quantile threshold / spread / mask stages vmap over
+    the batch as plain XLA ops.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+    if use_pallas and not cfg.use_mel and (cfg.nfft // 2) % 128 == 0:
+        from template_speech_recognition_tpu.ops.frontend_pallas import (
+            edge_responses_pallas,
+        )
+
+        y = jax.vmap(
+            lambda w: framing.preemphasize(w, cfg.preemphasis)
+        )(waveforms)
+        frames = jax.vmap(
+            lambda s: framing.frame_signal(s, cfg.frame_length, cfg.hop_length)
+        )(y)
+        frames = frames * framing.hamming_window(cfg.frame_length)[None, None, :]
+        bsz, t = frames.shape[0], frames.shape[1]
+        t_pad = ((t + 127) // 128) * 128
+        frames_p = (
+            jnp.zeros((bsz, t_pad, cfg.frame_length), jnp.float32)
+            .at[:, :t].set(frames)
+            .reshape(bsz * t_pad, cfg.frame_length)
+        )
+        resp = edge_responses_pallas(frames_p, cfg.nfft)
+        resp = resp.reshape(bsz, t_pad, cfg.nfft // 2, 8)[:, : t - 1]
+        valid_frames = jnp.where(
+            num_valid_samples >= cfg.frame_length,
+            (num_valid_samples - cfg.frame_length) // cfg.hop_length,
+            0,
+        ).astype(jnp.int32)
+
+        def finish(r, vf):
+            b = edges.binarize(r, cfg.edge_quantile, vf)
+            b = edges.spread_binary(b, cfg.spread_time, cfg.spread_freq)
+            return edges.mask_rows(b, vf)
+
+        return FeatureMap(jax.vmap(finish)(resp, valid_frames), valid_frames)
+    fn = functools.partial(
+        frontend.__wrapped__, cfg=cfg, precision=precision, use_pallas=False
+    )
     return jax.vmap(fn)(waveforms, num_valid_samples)

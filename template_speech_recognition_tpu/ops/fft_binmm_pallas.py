@@ -16,10 +16,16 @@ revisited consecutively while xr/xi/w2 tiles stream double-buffered.
 The W2 spectra stream exactly once; xr/xi stream twice (once per half
 of the 2D contraction).
 
-Shape contract: m % 8 == 0, K % 128 == 0, D % dc == 0 (callers pad;
-``detect.fft_scorer`` keeps bins lane-aligned by choosing odd nfft =
-255 -> bins = 128 with no Nyquist special case -- the DFT here is a
-GEMM, not an FFT, so nfft need not be composite or even).
+Shape contract: m % 8 == 0, K % 128 == 0, D % dc == 0 (callers pad).
+With the 4-D input layout [bins, B, nblk, D] the kernel reshapes each
+(B, nblk, dc) block to (m, dc) in VMEM, which is layout-trivial only
+when B == 1 or nblk % 8 == 0 -- ``detect.fft_scorer`` gates the 4-D
+path on exactly that and reshapes to 3-D otherwise.  bins need not be
+lane-aligned (the grid walks bins one at a time); ``pick_nfft``
+chooses nfft = hop + L - 1 with hop 16-aligned (159 -> bins = 80 at
+L = 32), and parity of nfft is handled by the Nyquist weight in
+``_idft_mats`` -- the DFT here is a GEMM, not an FFT, so nfft need
+not be composite or even.
 """
 
 from __future__ import annotations
@@ -117,7 +123,7 @@ def fft_binmm_pallas(
     )
     return pl.pallas_call(
         functools.partial(_kernel, nd=nd, m=m),
-        out_shape=jax.ShapeDtypeStruct((2, bins, m, k), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((2, bins, m, k), xr.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec(in_block, x_index, memory_space=pltpu.VMEM),

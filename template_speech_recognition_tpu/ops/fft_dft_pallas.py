@@ -98,7 +98,9 @@ def fft_block_dft_pallas(
         + g.size * g.dtype.itemsize * b
         + 2 * bins * b * nblk * d * 2
     )
-    out_shape = jax.ShapeDtypeStruct((bins, b, nblk, d), jnp.bfloat16)
+    # Output dtype follows the input compute dtype (bf16 on TPU, f32 on
+    # the CPU parity path) so interpret-mode results match the XLA twin.
+    out_shape = jax.ShapeDtypeStruct((bins, b, nblk, d), xp.dtype)
     return pl.pallas_call(
         functools.partial(
             _kernel, nblk=nblk, hop=hop, nfft=nfft, bins=bins, t=t

