@@ -60,6 +60,35 @@ def sliding_scores(
     return out[0] + c.astype(jnp.float32)[:, None]
 
 
+@functools.partial(jax.jit, static_argnames=("precision", "compute_dtype"))
+def sliding_scores_batch(
+    feats: jnp.ndarray,
+    w: jnp.ndarray,
+    c: jnp.ndarray,
+    precision: lax.Precision = lax.Precision.HIGHEST,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """Batched twin of ``sliding_scores``: feats [B, T', F, E] ->
+    [B, K, T'-L+1] via one batched conv (the conv's N axis), so a whole
+    utterance bucket scores in one MXU launch.  Per-utterance results
+    equal ``sliding_scores`` (same conv, batched over N)."""
+    b, t = feats.shape[0], feats.shape[1]
+    k, length = w.shape[0], w.shape[1]
+    d = w.shape[2] * w.shape[3]
+    lhs = jnp.swapaxes(feats.reshape(b, t, d), 1, 2).astype(compute_dtype)
+    rhs = jnp.swapaxes(w.reshape(k, length, d), 1, 2).astype(compute_dtype)
+    out = lax.conv_general_dilated(
+        lhs,
+        rhs,
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=_DN,
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+    return out + c.astype(jnp.float32)[None, :, None]
+
+
 @jax.jit
 def sliding_scores_int(
     feats: jnp.ndarray,

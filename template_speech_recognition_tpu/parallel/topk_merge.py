@@ -50,6 +50,37 @@ def merge_topk(
     return out_s, out_t, out_k
 
 
+def merge_topk_collective_batched(
+    local_scores: jnp.ndarray,      # [B_l, P]
+    local_times: jnp.ndarray,       # [B_l, P]
+    local_template_ids: jnp.ndarray,
+    axis_names,
+    top_k: int,
+    time_offset: jnp.ndarray | None = None,
+    template_offset: jnp.ndarray | None = None,
+):
+    """Per-utterance inside-``shard_map`` merge: all_gather each
+    utterance's local top-K triples over ``axis_names``, then re-top-K
+    per utterance with the global deterministic order.  Unlike
+    ``merge_topk_collective`` the batch axis is preserved -- detections
+    never merge across utterances.  Returns [B_l, top_k] triples,
+    replicated along the gathered axes."""
+    t = local_times + (0 if time_offset is None else time_offset)
+    k = local_template_ids + (0 if template_offset is None else template_offset)
+    s = local_scores
+    for ax in axis_names:
+        s = jax.lax.all_gather(s, ax)       # prepend [axis_size]
+        t = jax.lax.all_gather(t, ax)
+        k = jax.lax.all_gather(k, ax)
+    b_l = local_scores.shape[0]
+    s = jnp.moveaxis(s, -2, 0).reshape(b_l, -1)
+    t = jnp.moveaxis(t, -2, 0).reshape(b_l, -1)
+    k = jnp.moveaxis(k, -2, 0).reshape(b_l, -1)
+    return jax.vmap(
+        lambda a, b, c: merge_topk.__wrapped__(a, b, c, top_k)
+    )(s, t, k)
+
+
 def merge_topk_collective(
     local_scores: jnp.ndarray,
     local_times: jnp.ndarray,

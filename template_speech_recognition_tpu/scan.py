@@ -1,0 +1,328 @@
+"""Streaming batched corpus scan -- the production detect path.
+
+``pipeline.detect_corpus`` used to walk utterances one at a time with
+several host syncs each (valid-frame reads, per-utterance result
+fetches); at corpus scale the ~tens-of-ms host/tunnel round trips --
+not the MXU -- were the binding resource (round-1 verdict, item 2).
+This module replaces the inner loop with a streaming bucketed scan:
+
+* utterances group into sample-length buckets (``bucket_length``), so
+  jit sees a handful of static shapes;
+* each full bucket batch runs ONE jit step:
+  ``frontend_batch -> fft/conv sliding scores -> masked_scores ->
+  batched NMS/top-K [-> batched DTW rescore]`` with zero host syncs
+  inside;
+* batches pipeline one deep: batch i+1 is dispatched before batch i's
+  fixed-size (s, t, k) triples are fetched, overlapping device compute
+  with host padding/IO;
+* an optional ``checkpoint.ScanManifest`` records each completed batch
+  (atomic rename), so a killed scan resumes without recomputing
+  finished work (SURVEY.md section 5 "failure detection").
+
+Memory stays bounded: at most ``buckets x batch_size`` waveforms are
+pending on host, and only fixed-size top-K triples come back.
+
+Reference capability covered: the detection scan of SURVEY.md section
+3.2 (configs 1-2) at BASELINE.json:11 corpus scale; this is the
+TPU-native streaming redesign, not a translation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from template_speech_recognition_tpu.align.dtw import dtw_keyword_scores_batch
+from template_speech_recognition_tpu.config import PipelineConfig
+from template_speech_recognition_tpu.detect.nms import top_detections
+from template_speech_recognition_tpu.detect.scorer import (
+    masked_scores,
+    sliding_scores_batch,
+)
+from template_speech_recognition_tpu.frontend import frontend_batch
+from template_speech_recognition_tpu.models.bank import TemplateBank
+
+
+def batched_top_detections(scores, valid_frames, template_length,
+                           nms_radius, top_k, time_major):
+    """[B, ...] scores + [B] valid -> per-utterance (s, t, k) top-K."""
+
+    def one(sc, vf):
+        sc = masked_scores(sc, vf, template_length, time_major=time_major)
+        return top_detections.__wrapped__(
+            sc, nms_radius, top_k, time_major=time_major
+        )
+
+    return jax.vmap(one)(scores, valid_frames)
+
+
+def dtw_rescore_batched(binary, valid_frames, scores, times,
+                        w_rows, c_rows, m_seg, band, use_pallas):
+    """Batched config-4 rescore: every (utterance, peak) segment goes
+    through ONE ``dtw_keyword_scores_batch`` call (one wavefront-kernel
+    launch for the whole batch) instead of a per-utterance loop."""
+    b, p = scores.shape
+    tdim = binary.shape[1]
+    t_idx = jnp.clip(times, 0, tdim - 1)
+    idx = jnp.clip(
+        t_idx[:, :, None] + jnp.arange(m_seg)[None, None, :], 0, tdim - 1
+    )
+    segs = jax.vmap(lambda bm, ix: jnp.take(bm, ix, axis=0))(
+        binary.astype(jnp.float32), idx
+    )                                             # [B, P, m_seg, F, E]
+    seg_lens = jnp.clip(
+        valid_frames.astype(jnp.int32)[:, None] - t_idx, 1, m_seg
+    )
+    pair = dtw_keyword_scores_batch.__wrapped__(
+        segs.reshape((b * p,) + segs.shape[2:]),
+        seg_lens.reshape(-1),
+        w_rows, c_rows, band, use_pallas,
+    ).reshape(b, p, -1)                           # [B, P, K]
+    best = jnp.max(pair, axis=-1)
+    bid = jnp.argmax(pair, axis=-1).astype(jnp.int32)
+    keep = jnp.isfinite(scores)
+    return jnp.where(keep, best, -jnp.inf), jnp.where(keep, bid, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "fcfg", "backend", "template_length", "nms_radius", "top_k",
+        "dtw", "m_seg", "band",
+    ),
+)
+def scan_step(
+    wavs: jnp.ndarray,            # [B, S] padded waveforms
+    valid_samples: jnp.ndarray,   # [B] int32
+    fft_bank,                     # FFTBank | None
+    w, c,                         # conv-backend LLR filter | None
+    w_rows, c_rows,               # DTW per-row filter | None
+    *,
+    fcfg,
+    backend: str,
+    template_length: int,
+    nms_radius: int,
+    top_k: int,
+    dtw: bool,
+    m_seg: int,
+    band: int,
+):
+    """One fused scan step: waveforms -> fixed-size detections, no host
+    syncs anywhere inside.  Padded batch rows (valid_samples == 0) come
+    out as all--inf detections and are dropped host-side."""
+    on_accel = jax.default_backend() != "cpu"
+    fm = frontend_batch.__wrapped__(wavs, valid_samples, cfg=fcfg)
+    if backend == "fft":
+        from template_speech_recognition_tpu.detect.fft_scorer import (
+            fft_sliding_scores,
+        )
+
+        # time-major + trim=False: the fused epilogue's native layout
+        # flows straight into masking/NMS (no transpose, no tail slice).
+        scores = fft_sliding_scores.__wrapped__(
+            fm.binary, fft_bank, use_pallas=on_accel,
+            time_major=True, trim=False,
+        )
+        s, t, k = batched_top_detections(
+            scores, fm.valid_frames, template_length, nms_radius, top_k,
+            time_major=True,
+        )
+    else:
+        scores = sliding_scores_batch(fm.binary, w, c)
+        s, t, k = batched_top_detections(
+            scores, fm.valid_frames, template_length, nms_radius, top_k,
+            time_major=False,
+        )
+    if dtw:
+        s, k = dtw_rescore_batched(
+            fm.binary, fm.valid_frames, s, t, w_rows, c_rows,
+            m_seg, band, use_pallas=on_accel,
+        )
+    return s, t, k
+
+
+def detect_corpus_stream(
+    corpus,
+    bank: TemplateBank,
+    cfg: PipelineConfig,
+    target_phone: str | None = None,
+    manifest=None,
+):
+    """Streaming bucketed corpus scan; same results contract as the
+    per-utterance loop (scores allclose; detections identical).
+
+    ``manifest``: optional ``checkpoint.ScanManifest``.  Batches flush
+    in a deterministic order for a given corpus, so a resumed scan
+    reloads completed batches from disk and recomputes only the rest.
+    """
+    from template_speech_recognition_tpu.pipeline import (
+        CorpusDetections,
+        bucket_length,
+    )
+    from template_speech_recognition_tpu.detect import evaluate as ev
+    from template_speech_recognition_tpu.utils.metrics import StageCounters
+
+    fcfg, dcfg = cfg.frontend, cfg.detect
+    backend = dcfg.score_backend
+    if backend not in ("fft", "conv"):
+        raise ValueError(f"streaming scan supports fft|conv, got {backend!r}")
+    fft_bank = w = c = None
+    if backend == "fft":
+        from template_speech_recognition_tpu.detect.fft_scorer import (
+            build_fft_bank,
+        )
+
+        wf, cf = bank.llr()
+        fft_bank = build_fft_bank(wf, cf)
+    else:
+        w, c = bank.llr()
+    w_rows = c_rows = None
+    m_seg = 1
+    if dcfg.dtw_rescore:
+        w_rows, c_rows = bank.llr_rows()
+        m_seg = bank.template_length + cfg.dtw.band
+    batch_size = max(1, dcfg.batch_size)
+    step = functools.partial(
+        scan_step,
+        fcfg=fcfg, backend=backend,
+        template_length=bank.template_length,
+        nms_radius=dcfg.nms_radius, top_k=dcfg.top_k,
+        dtw=dcfg.dtw_rescore, m_seg=m_seg, band=cfg.dtw.band,
+    )
+
+    def compute(wavs_np, vs_np):
+        return step(
+            jnp.asarray(wavs_np), jnp.asarray(vs_np),
+            fft_bank, w, c, w_rows, c_rows,
+        )
+
+    return stream_scan(
+        corpus, fcfg, batch_size, compute, bank.num_templates,
+        target_phone=target_phone, manifest=manifest,
+        stage_name="detect_corpus_stream",
+    )
+
+
+def stream_scan(
+    corpus,
+    fcfg,
+    batch_size: int,
+    compute,
+    num_templates: int,
+    target_phone: str | None = None,
+    manifest=None,
+    stage_name: str = "stream_scan",
+):
+    """The streaming driver shared by the single-chip and mesh-sharded
+    scans: bucket -> batch -> ``compute(wavs [B, S], valid [B]) ->
+    (s, t, k) device triples`` -> 1-deep pipelined fetch -> manifest.
+    """
+    from template_speech_recognition_tpu.pipeline import (
+        CorpusDetections,
+        bucket_length,
+    )
+    from template_speech_recognition_tpu.detect import evaluate as ev
+    from template_speech_recognition_tpu.utils.metrics import StageCounters
+
+    stats = StageCounters()
+    done_shards = manifest.completed() if manifest is not None else set()
+    results: dict[int, tuple] = {}      # gidx -> (s, t, k) rows
+    labels: list[np.ndarray] = []
+    utt_ids: list[str] = []
+    pending: dict[int, list] = {}       # pad_samples -> [(gidx, wav)]
+    inflight = None                     # (shard_id, gidxs, outputs, on_host)
+    shard_id = 0
+    total_samples = 0
+    stats.start("scan")
+
+    def flush(sid, items, pad):
+        gidxs = [g for g, _w in items]
+        lens = [len(wv) for _g, wv in items]
+        if sid in done_shards:
+            z = manifest.load_shard(sid)
+            if list(z["gidx"]) != gidxs or list(z["ns"]) != lens:
+                raise ValueError(
+                    f"manifest shard {sid} covers utterances "
+                    f"{list(z['gidx'])} (lengths {list(z['ns'])}), scan "
+                    f"expects {gidxs} (lengths {lens}): corpus or "
+                    "config changed since the checkpointed scan"
+                )
+            return (sid, gidxs, (z["s"], z["t"], z["k"]), True)
+        wavs = np.zeros((batch_size, pad), np.float32)
+        vs = np.zeros((batch_size,), np.int32)
+        for row, (_g, wav) in enumerate(items):
+            wavs[row, : len(wav)] = wav
+            vs[row] = len(wav)
+        out = compute(wavs, vs)
+        return (sid, gidxs, (out, lens), False)
+
+    def drain(flight):
+        sid, gidxs, out, on_host = flight
+        if not on_host:
+            out, lens = out
+        s, t, k = (np.asarray(a) for a in out)
+        if manifest is not None and not on_host:
+            manifest.record(
+                sid,
+                {"s": s, "t": t, "k": k,
+                 "gidx": np.asarray(gidxs, np.int64),
+                 "ns": np.asarray(lens, np.int64)},
+            )
+        for row, g in enumerate(gidxs):
+            results[g] = (s[row], t[row], k[row])
+
+    for gidx, (uid, wav, phones) in enumerate(corpus.iter_utterances()):
+        total_samples += len(wav)
+        utt_ids.append(uid)
+        if target_phone is not None:
+            labels.append(np.asarray(
+                [s0 // fcfg.hop_length
+                 for (ph, s0, _e) in phones if ph == target_phone],
+                dtype=np.int64,
+            ))
+        else:
+            labels.append(np.zeros(0, np.int64))
+        nf = len(wav)
+        stats.add("frames", float(
+            (nf - fcfg.frame_length) // fcfg.hop_length
+            if nf >= fcfg.frame_length else 0
+        ))
+        pad = bucket_length(nf)
+        pending.setdefault(pad, []).append((gidx, wav))
+        if len(pending[pad]) == batch_size:
+            flight = flush(shard_id, pending.pop(pad), pad)
+            shard_id += 1
+            if inflight is not None:
+                drain(inflight)
+            inflight = flight
+    # Partial tail batches, one per bucket (rows past the tail stay
+    # zero -> valid 0 -> all--inf detections, dropped by DetectionSet).
+    for pad in sorted(pending):
+        flight = flush(shard_id, pending[pad], pad)
+        shard_id += 1
+        if inflight is not None:
+            drain(inflight)
+        inflight = flight
+    if inflight is not None:
+        drain(inflight)
+    if not results and not utt_ids:
+        raise ValueError("empty corpus")
+
+    per_utt = [results[g] for g in range(len(utt_ids))]
+    dets = ev.DetectionSet.from_per_utterance(per_utt)
+    stats.stop("scan")
+    stats.add("utterances", float(len(utt_ids)))
+    stats.add("audio_seconds", total_samples / corpus.sample_rate)
+    stats.add("detections", float(len(dets.scores)))
+    stats.add(
+        "windows_scored", stats.counters["frames"] * num_templates
+    )
+    counters = stats.to_dict()
+    counters["audio_s_per_s"] = stats.rate("audio_seconds", "scan")
+    stats.log(stage_name + " ")
+    return CorpusDetections(
+        dets, labels, total_samples / corpus.sample_rate, utt_ids, counters
+    )
