@@ -51,3 +51,82 @@ def test_sharded_scan_matches_reference(setup, mesh_shape, tmp_path):
     m_got = evaluate_detections(got, cfg.detect.match_tolerance)
     assert m_got["num_labels"] == m_ref["num_labels"]
     np.testing.assert_allclose(m_got["eer"], m_ref["eer"], atol=1e-6)
+
+
+def test_sharded_fft_backend_matches_reference(setup):
+    """Config 5 with the production fft scorer inside the shard_map."""
+    from template_speech_recognition_tpu.config import DetectConfig
+
+    corpus, cfg, bank, ref = setup
+    cfg_fft = PipelineConfig(detect=DetectConfig(score_backend="fft"))
+    mesh = build_mesh(MeshConfig(2, 2, 2))
+    got = detect_corpus_sharded(corpus, bank, cfg_fft, mesh, target_phone="aa")
+    r, g = ref.detections, got.detections
+    assert len(g.scores) == len(r.scores)
+    order_r = np.lexsort((r.times, r.utterance_ids))
+    order_g = np.lexsort((g.times, g.utterance_ids))
+    np.testing.assert_array_equal(g.times[order_g], r.times[order_r])
+    np.testing.assert_allclose(
+        g.scores[order_g], r.scores[order_r], rtol=1e-4, atol=1e-3
+    )
+
+
+def test_sharded_bank_padding(setup):
+    """K=2 templates over a 4-way bank axis: padded templates carry
+    c = -inf and must never appear in the output."""
+    corpus, cfg, bank, ref = setup
+    mesh = build_mesh(MeshConfig(1, 4, 2))
+    got = detect_corpus_sharded(corpus, bank, cfg, mesh, target_phone="aa")
+    assert got.detections.template_ids.max() < bank.num_templates
+    r, g = ref.detections, got.detections
+    assert len(g.scores) == len(r.scores)
+    order_r = np.lexsort((r.times, r.utterance_ids))
+    order_g = np.lexsort((g.times, g.utterance_ids))
+    np.testing.assert_array_equal(g.times[order_g], r.times[order_r])
+
+
+def test_sharded_scan_manifest_resume(setup, tmp_path, monkeypatch):
+    """A sharded scan killed mid-corpus resumes from the manifest and
+    matches the uninterrupted sharded scan (SURVEY.md section 5
+    failure-recovery story at config-5 shape)."""
+    from template_speech_recognition_tpu.checkpoint import ScanManifest
+    from template_speech_recognition_tpu.config import DetectConfig
+    from template_speech_recognition_tpu.parallel import detect_sharded as ds
+
+    _c, _cfg, bank, _ref = setup
+    # 6 utterances / global batch 2 -> 3 batches: the 1-deep pipeline
+    # drains (records) batch i only when batch i+1 dispatches, so the
+    # fault on batch 3 leaves batches 1 recorded and 2 lost in flight.
+    corpus = SyntheticAdapter(
+        make_synthetic_corpus(num_utterances=6, phones_per_utterance=4,
+                              seed=0)
+    )
+    cfg = PipelineConfig(detect=DetectConfig(batch_size=2))
+    mesh = build_mesh(MeshConfig(2, 2, 2))
+    baseline = detect_corpus_sharded(corpus, bank, cfg, mesh,
+                                     target_phone="aa")
+
+    calls = {"n": 0}
+    real = ds.sharded_scan_step
+
+    def faulty(*a, **k):
+        calls["n"] += 1
+        if calls["n"] > 2:
+            raise RuntimeError("injected fault")
+        return real(*a, **k)
+
+    monkeypatch.setattr(ds, "sharded_scan_step", faulty)
+    mdir = str(tmp_path / "shardedscan")
+    with pytest.raises(RuntimeError, match="injected fault"):
+        detect_corpus_sharded(corpus, bank, cfg, mesh, target_phone="aa",
+                              manifest=ScanManifest(mdir))
+    assert len(ScanManifest(mdir).completed()) >= 1
+
+    monkeypatch.setattr(ds, "sharded_scan_step", real)
+    resumed = detect_corpus_sharded(corpus, bank, cfg, mesh,
+                                    target_phone="aa",
+                                    manifest=ScanManifest(mdir))
+    b, g = baseline.detections, resumed.detections
+    np.testing.assert_array_equal(g.scores, b.scores)
+    np.testing.assert_array_equal(g.times, b.times)
+    np.testing.assert_array_equal(g.template_ids, b.template_ids)
