@@ -56,6 +56,10 @@ class TemplateConfig:
     em_max_iters: int = 50
     em_tol: float = 1e-4
     em_seed: int = 0
+    # Multi-restart EM: fit from em_restarts deterministic inits
+    # (seeds em_seed .. em_seed+R-1, vmapped on device) and keep the
+    # best final log-likelihood (SURVEY.md section 2a mixture row).
+    em_restarts: int = 1
     template_length: int | None = None  # None -> median exemplar length
 
 
@@ -98,7 +102,10 @@ class PartsConfig:
 @dataclasses.dataclass(frozen=True)
 class DTWConfig:
     band: int = 6                  # Sakoe-Chiba-style band half-width
-    max_segment_frames: int = 128
+    # Long segments stream through the band-compressed wavefront kernel
+    # in diagonal chunks (VMEM independent of M), so the cap is set by
+    # HBM for the [pairs, L, M] cost tensor, not by the kernel.
+    max_segment_frames: int = 1024
 
 
 @dataclasses.dataclass(frozen=True)

@@ -139,7 +139,31 @@ def check_dtw() -> dict:
         and np.all(got[~finite] > 1e38)
     )
     err = float(np.max(np.abs(got[finite] - want[finite]))) if finite.any() else 0.0
-    return {"kernel": "dtw_pallas", "ok": ok, "max_abs_err": err}
+    # Long-segment chunked wavefront (M >> L): multiple streamed
+    # diagonal chunks carrying DP state in scratch, compiled.
+    n2, l2, m2, band2 = 8, 64, 512, 12
+    cost2 = (rng.standard_normal((n2, l2, m2)) + 2.0).astype(np.float32)
+    lens2 = rng.integers(440, m2 + 1, size=n2).astype(np.int32)
+    got2 = np.asarray(
+        banded_dtw_pallas(
+            jnp.asarray(cost2), jnp.asarray(lens2), band2, chunk_diags=128
+        )
+    )
+    want2 = np.array(
+        [oracle_dtw(cost2[i, :, : lens2[i]], band2) for i in range(n2)],
+        dtype=np.float32,
+    )
+    fin2 = np.isfinite(want2)
+    ok = ok and bool(
+        fin2.any()
+        and np.allclose(got2[fin2], want2[fin2], rtol=1e-4, atol=1e-3)
+        and np.all(got2[~fin2] > 1e38)
+    )
+    err2 = float(np.max(np.abs(got2[fin2] - want2[fin2]))) if fin2.any() else -1.0
+    return {
+        "kernel": "dtw_pallas", "ok": ok, "max_abs_err": err,
+        "long_seg_max_abs_err": err2,
+    }
 
 
 def _fft_case(b, t, k, length, f, e, nfft, seed):
