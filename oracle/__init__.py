@@ -39,7 +39,11 @@ from oracle.template import (
     estimate_template,
     estimate_background,
 )
-from oracle.mixture import bernoulli_mixture_em, init_responsibilities
+from oracle.mixture import (
+    bernoulli_mixture_em,
+    bernoulli_mixture_em_restarts,
+    init_responsibilities,
+)
 from oracle.score import (
     llr_filter,
     quantize_filter,
@@ -66,6 +70,7 @@ __all__ = [
     "estimate_template",
     "estimate_background",
     "bernoulli_mixture_em",
+    "bernoulli_mixture_em_restarts",
     "init_responsibilities",
     "llr_filter",
     "quantize_filter",

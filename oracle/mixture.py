@@ -89,3 +89,34 @@ def bernoulli_mixture_em(
             break
         prev_ll = mean_ll
     return means, weights, np.asarray(history, dtype=np.float32), it
+
+
+def bernoulli_mixture_em_restarts(
+    x: np.ndarray,
+    num_components: int,
+    num_restarts: int,
+    seed: int = 0,
+    num_iters: int = 50,
+    eps: float = 0.01,
+    tol: float = 1e-4,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int, int]:
+    """Multi-restart EM: run ``num_restarts`` fits from
+    ``init_responsibilities(n, k, seed + r)`` and keep the one with the
+    highest final mean log-likelihood (ties -> lowest restart index).
+
+    Returns (means, weights, history, iters_run, best_restart).
+    """
+    n = np.asarray(x).shape[0]
+    best = None
+    best_r = -1
+    for r in range(num_restarts):
+        resp = init_responsibilities(n, num_components, seed + r)
+        means, weights, history, iters = bernoulli_mixture_em(
+            x, resp, num_iters=num_iters, eps=eps, tol=tol
+        )
+        final = history[-1] if len(history) else -np.inf
+        if best is None or final > best[1][-1]:
+            best = ((means, weights, history, iters), history)
+            best_r = r
+    (means, weights, history, iters), _ = best
+    return means, weights, history, iters, best_r

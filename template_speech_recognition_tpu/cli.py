@@ -120,7 +120,14 @@ def cmd_detect(args) -> int:
     cfg = _load_config(args)
     corpus = _build_corpus(args.corpus, args.seed)
     bank = _load_bank(args.bank)
-    result = detect_corpus(corpus, bank, cfg, target_phone=args.phone)
+    manifest = None
+    if getattr(args, "manifest", None):
+        from template_speech_recognition_tpu.checkpoint import ScanManifest
+
+        manifest = ScanManifest(args.manifest)
+    result = detect_corpus(
+        corpus, bank, cfg, target_phone=args.phone, manifest=manifest
+    )
     d = result.detections
     if args.out:
         np.savez(
@@ -144,6 +151,8 @@ def cmd_detect(args) -> int:
 
 
 def cmd_evaluate(args) -> int:
+    import os
+
     from template_speech_recognition_tpu.pipeline import (
         detect_corpus,
         evaluate_detections,
@@ -152,19 +161,65 @@ def cmd_evaluate(args) -> int:
     cfg = _load_config(args)
     corpus = _build_corpus(args.corpus, args.seed)
     bank = _load_bank(args.bank)
-    result = detect_corpus(corpus, bank, cfg, target_phone=args.phone)
-    metrics = evaluate_detections(result, cfg.detect.match_tolerance)
-    print(
-        json.dumps(
-            {
-                "phone": args.phone,
-                "eer": round(float(metrics["eer"]), 4),
-                "best_tpr": round(float(metrics["best_tpr"]), 4),
-                "num_labels": int(metrics["num_labels"]),
-                "num_detections": int(metrics["num_detections"]),
-            }
-        )
+    manifest = None
+    if getattr(args, "manifest", None):
+        from template_speech_recognition_tpu.checkpoint import ScanManifest
+
+        manifest = ScanManifest(args.manifest)
+    result = detect_corpus(
+        corpus, bank, cfg, target_phone=args.phone, manifest=manifest
     )
+    metrics = evaluate_detections(result, cfg.detect.match_tolerance)
+    summary = {
+        "phone": args.phone,
+        "eer": round(float(metrics["eer"]), 4),
+        "best_tpr": round(float(metrics["best_tpr"]), 4),
+        "num_labels": int(metrics["num_labels"]),
+        "num_detections": int(metrics["num_detections"]),
+    }
+    if getattr(args, "artifacts", None):
+        # ROC/EER emitted as artifacts (SURVEY.md section 5 metrics
+        # row): full curve arrays as npz + the summary/counters as JSON.
+        os.makedirs(args.artifacts, exist_ok=True)
+        np.savez(
+            os.path.join(args.artifacts, "roc.npz"),
+            thresholds=metrics["thresholds"],
+            tpr=metrics["tpr"],
+            fp_per_sec=metrics["fp_per_sec"],
+            eer=np.float64(metrics["eer"]),
+        )
+        d = result.detections
+        np.savez(
+            os.path.join(args.artifacts, "detections.npz"),
+            scores=d.scores, times=d.times,
+            template_ids=d.template_ids, utterance_ids=d.utterance_ids,
+        )
+        with open(os.path.join(args.artifacts, "metrics.json"), "w") as f:
+            json.dump({**summary, "counters": result.counters}, f, indent=2)
+        summary["artifacts"] = args.artifacts
+    if getattr(args, "tensorboard", None):
+        # Optional tensorboard scalars (torch's SummaryWriter; torch is
+        # a baked-in dependency of this image, but stay soft anyway).
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+        except Exception as exc:  # pragma: no cover - env without torch
+            print(f"tensorboard unavailable: {exc}", file=sys.stderr)
+        else:
+            tw = SummaryWriter(args.tensorboard)
+            tw.add_scalar("eval/eer", float(metrics["eer"]))
+            tw.add_scalar("eval/best_tpr", float(metrics["best_tpr"]))
+            tw.add_scalar(
+                "eval/audio_s_per_s",
+                float(result.counters.get("audio_s_per_s", 0.0)),
+            )
+            for i in range(len(metrics["tpr"])):
+                tw.add_scalar("roc/tpr", float(metrics["tpr"][i]), i)
+                tw.add_scalar(
+                    "roc/fp_per_sec", float(metrics["fp_per_sec"][i]), i
+                )
+            tw.close()
+            summary["tensorboard"] = args.tensorboard
+    print(json.dumps(summary))
     return 0
 
 
@@ -273,6 +328,9 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--score-backend", default=None,
                    choices=["conv", "fft", "pallas"],
                    help="scoring kernel (fft = frequency-domain fast path)")
+    d.add_argument("--manifest", default=None,
+                   help="scan-manifest directory: crash-tolerant "
+                        "resumable corpus scan")
     d.set_defaults(fn=cmd_detect)
 
     e = sub.add_parser("evaluate", help="ROC / EER over a corpus scan")
@@ -286,6 +344,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="scoring kernel (fft = frequency-domain fast path)")
     e.add_argument("--exact", action="store_true",
                    help="int32 fixed-point scoring (bit-parity path)")
+    e.add_argument("--artifacts", default=None,
+                   help="directory for roc.npz / detections.npz / "
+                        "metrics.json artifacts")
+    e.add_argument("--tensorboard", default=None,
+                   help="directory for tensorboard scalars (ROC, EER)")
+    e.add_argument("--manifest", default=None,
+                   help="scan-manifest directory: crash-tolerant "
+                        "resumable corpus scan")
     e.set_defaults(fn=cmd_evaluate)
 
     c = sub.add_parser("classify", help="isolated-segment classification")

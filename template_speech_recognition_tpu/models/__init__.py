@@ -5,6 +5,7 @@ from template_speech_recognition_tpu.models.template import (
 )
 from template_speech_recognition_tpu.models.mixture import (
     bernoulli_mixture_em,
+    bernoulli_mixture_em_restarts,
     em_step,
     EMState,
 )
@@ -15,6 +16,7 @@ __all__ = [
     "estimate_template",
     "estimate_background",
     "bernoulli_mixture_em",
+    "bernoulli_mixture_em_restarts",
     "em_step",
     "EMState",
     "TemplateBank",

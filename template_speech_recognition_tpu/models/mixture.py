@@ -119,3 +119,30 @@ def bernoulli_mixture_em(
         return EMState(it, new_resp, means, weights, mean_ll, done, history)
 
     return lax.while_loop(cond, body, init)
+
+
+@functools.partial(jax.jit, static_argnames=("num_iters", "eps", "tol"))
+def bernoulli_mixture_em_restarts(
+    x: jnp.ndarray,
+    init_resps: jnp.ndarray,      # [R, N, K] stacked restart inits
+    num_iters: int = 50,
+    eps: float = 0.01,
+    tol: float = 1e-4,
+    mask: jnp.ndarray | None = None,
+) -> tuple[EMState, jnp.ndarray]:
+    """Multi-restart EM (SURVEY.md section 2a mixture row "restarts"):
+    every restart's full fit runs as one vmapped while_loop (all
+    restarts advance in lockstep on device -- R more rows in the same
+    GEMMs, not R sequential fits), then the restart with the highest
+    final mean log-likelihood wins; ties break to the lowest restart
+    index, matching ``oracle.mixture.bernoulli_mixture_em_restarts``.
+
+    Returns (winning EMState, winning restart index int32).
+    """
+    states = jax.vmap(
+        lambda r: bernoulli_mixture_em.__wrapped__(
+            x, r, num_iters=num_iters, eps=eps, tol=tol, mask=mask
+        )
+    )(init_resps.astype(jnp.float32))
+    best = jnp.argmax(states.log_likelihood).astype(jnp.int32)
+    return jax.tree.map(lambda a: a[best], states), best

@@ -206,13 +206,29 @@ def train_bank(
         else:
             n = stack.shape[0]
             x = jnp.reshape(stack.astype(jnp.float32), (n, -1))
-            resp = jnp.asarray(
-                init_responsibilities(n, tcfg.num_components, tcfg.em_seed)
-            )
-            state = bernoulli_mixture_em(
-                x, resp, num_iters=tcfg.em_max_iters,
-                eps=tcfg.prob_clip_eps, tol=tcfg.em_tol,
-            )
+            if tcfg.em_restarts > 1:
+                from template_speech_recognition_tpu.models import (
+                    bernoulli_mixture_em_restarts,
+                )
+
+                resps = jnp.stack([
+                    jnp.asarray(init_responsibilities(
+                        n, tcfg.num_components, tcfg.em_seed + r
+                    ))
+                    for r in range(tcfg.em_restarts)
+                ])
+                state, _best = bernoulli_mixture_em_restarts(
+                    x, resps, num_iters=tcfg.em_max_iters,
+                    eps=tcfg.prob_clip_eps, tol=tcfg.em_tol,
+                )
+            else:
+                resp = jnp.asarray(
+                    init_responsibilities(n, tcfg.num_components, tcfg.em_seed)
+                )
+                state = bernoulli_mixture_em(
+                    x, resp, num_iters=tcfg.em_max_iters,
+                    eps=tcfg.prob_clip_eps, tol=tcfg.em_tol,
+                )
             shape = (tcfg.num_components, target_len) + maps[0].shape[1:]
             class_templates[phone] = np.asarray(state.means).reshape(shape)
 

@@ -99,3 +99,36 @@ def test_classify_with_parts_bank(tmp_path, capsys):
     res = _run(capsys, ["classify", "--corpus", "synthetic", "--bank", bank])
     assert res["num_segments"] > 0
     assert res["accuracy"] > 0.5
+
+
+def test_evaluate_artifacts(tmp_path, capsys):
+    """--artifacts writes roc.npz / detections.npz / metrics.json
+    (SURVEY.md section 5 metrics row)."""
+    import json as _json
+
+    import numpy as _np
+
+    from template_speech_recognition_tpu.cli import main
+
+    bank_dir = str(tmp_path / "bank")
+    art_dir = str(tmp_path / "artifacts")
+    assert main(["train", "--corpus", "synthetic", "--phones", "aa",
+                 "--bank", bank_dir]) == 0
+    capsys.readouterr()
+    assert main(["evaluate", "--corpus", "synthetic", "--bank", bank_dir,
+                 "--phone", "aa", "--artifacts", art_dir,
+                 "--manifest", str(tmp_path / "scanman")]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["artifacts"] == art_dir
+    z = _np.load(art_dir + "/roc.npz")
+    assert {"thresholds", "tpr", "fp_per_sec", "eer"} <= set(z.files)
+    assert len(z["tpr"]) == len(z["fp_per_sec"]) > 0
+    m = _json.loads(open(art_dir + "/metrics.json").read())
+    assert m["eer"] == out["eer"]
+    assert "counters" in m
+    d = _np.load(art_dir + "/detections.npz")
+    assert len(d["scores"]) == out["num_detections"]
+    # the manifest recorded the scan
+    from template_speech_recognition_tpu.checkpoint import ScanManifest
+
+    assert len(ScanManifest(str(tmp_path / "scanman")).completed()) >= 1
