@@ -37,6 +37,8 @@ def main() -> None:
     length = int(os.environ.get("DTW_L", 32))
     m = int(os.environ.get("DTW_M", 64))
     band = int(os.environ.get("DTW_BAND", 6))
+    bp_env = os.environ.get("DTW_BP")
+    bp = int(bp_env) if bp_env else None
     w = min(2 * band + 1, length)
     k_diag = length + m - 1
 
@@ -55,12 +57,15 @@ def main() -> None:
     for r in reps:
         @jax.jit
         def run(c0, ln):
-            eps = jnp.arange(1, r + 1, dtype=jnp.float32) * 1e-6
-
-            def body(acc, e):
-                return acc + jnp.sum(banded_dtw_pallas(c0 + e, ln, band)), None
-
-            acc, _ = jax.lax.scan(body, jnp.float32(0.0), eps)
+            # unrolled repeat chain (a lax.scan wrapper around the
+            # custom call compiled pathologically slowly)
+            acc = jnp.float32(0.0)
+            for i in range(r):
+                acc = acc + jnp.sum(
+                    banded_dtw_pallas(
+                        c0 + (i + 1) * 1e-6, ln, band, block_pairs=bp
+                    )
+                )
             return acc
 
         t0 = time.perf_counter()
@@ -75,9 +80,11 @@ def main() -> None:
         t_at[r] = float(np.min(times))
     dt = (t_at[reps[1]] - t_at[reps[0]]) / (reps[1] - reps[0])
 
-    # stream roofline: skband bytes (the cost tensor read once more by
-    # the band gather is XLA-side prep, excluded like the LLR build)
-    skband_bytes = n * k_diag * w * 4
+    # stream roofline: skewed-cost bytes at the layout the dispatcher
+    # picks (full lanes unless band compression saves whole 128-lane
+    # registers), plus the skew prep's read+write of the cost tensor.
+    lanes = w if -(-w // 128) < -(-length // 128) else length
+    skband_bytes = n * k_diag * lanes * 4 + 2 * n * length * m * 4
     roofline_s = skband_bytes / (HBM_GBPS * 1e9)
     out = {
         "metric": "dtw_pairs_per_s",

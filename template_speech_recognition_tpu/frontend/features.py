@@ -46,6 +46,13 @@ def spectrogram(
     return dft.log_magnitude_spectrogram(frames, cfg.nfft, precision=precision)
 
 
+def _fused_ok(cfg: FrontendConfig) -> bool:
+    """Shapes the fused DFT[+mel]+log+edge kernel covers: the mel
+    variant always (DFT bins are a contraction axis); the log-magnitude
+    variant when the output frequency extent is lane-aligned."""
+    return cfg.use_mel or (cfg.nfft // 2) % 128 == 0
+
+
 def _edge_responses_fused(waveform: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
     """Fused-Pallas path: waveform -> edge responses without the
     spectrogram round-tripping HBM (``ops.frontend_pallas``)."""
@@ -59,7 +66,11 @@ def _edge_responses_fused(waveform: jnp.ndarray, cfg: FrontendConfig) -> jnp.nda
     t = frames.shape[0]
     t_pad = ((t + 127) // 128) * 128
     frames = jnp.zeros((t_pad, cfg.frame_length), jnp.float32).at[:t].set(frames)
-    return edge_responses_pallas(frames, cfg.nfft)[: t - 1]
+    return edge_responses_pallas(
+        frames, cfg.nfft,
+        sample_rate=cfg.sample_rate,
+        n_mels=cfg.n_mels if cfg.use_mel else 0,
+    )[: t - 1]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "precision", "use_pallas"))
@@ -83,7 +94,7 @@ def frontend(
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
-    if use_pallas and not cfg.use_mel and (cfg.nfft // 2) % 128 == 0:
+    if use_pallas and _fused_ok(cfg):
         resp = _edge_responses_fused(waveform, cfg)
     else:
         spec = spectrogram(waveform, cfg, precision=precision)
@@ -121,7 +132,7 @@ def frontend_batch(
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
-    if use_pallas and not cfg.use_mel and (cfg.nfft // 2) % 128 == 0:
+    if use_pallas and _fused_ok(cfg):
         from template_speech_recognition_tpu.ops.frontend_pallas import (
             edge_responses_pallas,
         )
@@ -140,8 +151,12 @@ def frontend_batch(
             .at[:, :t].set(frames)
             .reshape(bsz * t_pad, cfg.frame_length)
         )
-        resp = edge_responses_pallas(frames_p, cfg.nfft)
-        resp = resp.reshape(bsz, t_pad, cfg.nfft // 2, 8)[:, : t - 1]
+        resp = edge_responses_pallas(
+            frames_p, cfg.nfft,
+            sample_rate=cfg.sample_rate,
+            n_mels=cfg.n_mels if cfg.use_mel else 0,
+        )
+        resp = resp.reshape(bsz, t_pad, cfg.feature_freqs, 8)[:, : t - 1]
         valid_frames = jnp.where(
             num_valid_samples >= cfg.frame_length,
             (num_valid_samples - cfg.frame_length) // cfg.hop_length,

@@ -62,6 +62,24 @@ def skew_cost(cost: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(valid, gathered, _INF)
 
 
+def skew_cost_fast(cost: jnp.ndarray, k_pad: int) -> jnp.ndarray:
+    """Gather-free batched skew: [N, L, M] -> [N, k_pad, L] with
+    out[n, k, i] = cost[n, i, k-i] (out-of-range cells are zeros; the
+    kernel masks them).  Pure pad + reshape + transpose -- the naive
+    per-pair ``take_along_axis`` gather measured ~9x the whole DP
+    kernel's device time."""
+    n, length, m = cost.shape
+    k_diag = length + m - 1
+    b = jnp.pad(cost, ((0, 0), (0, 0), (0, length)))     # [N, L, M+L]
+    flat = b.reshape(n, length * (m + length))[:, : length * (m + length - 1)]
+    # flat[n, i*(M+L-1) + k] == cost[n, i, k-i] (pad zeros off-range)
+    sk = flat.reshape(n, length, m + length - 1)[:, :, :k_diag]
+    sk = jnp.swapaxes(sk, 1, 2)                          # [N, K_diag, L]
+    if k_pad > k_diag:
+        sk = jnp.pad(sk, ((0, 0), (0, k_pad - k_diag), (0, 0)))
+    return sk
+
+
 def band_ilo(k, mlen, length: int, band: int):
     """First in-band row of anti-diagonal ``k`` (closed form; the
     kernel computes the same value incrementally).  ``k`` [K] int32,
@@ -107,10 +125,63 @@ def band_skew_cost(
     return jnp.where(valid, gathered, _INF)
 
 
-def _kernel(skband_ref, mlen_ref, out_ref, prev_ref, prev2_ref,
-            ilo1_ref, ilo2_ref, *, length: int, band: int, w: int, ck: int):
+def _kernel_full(skew_ref, mlen_ref, out_ref, prev_ref, prev2_ref,
+                 *, length: int, band: int, ck: int, single_chunk: bool):
+    """Full-lane chunked wavefront: lanes over the L template rows
+    (static layout -> gather-free skew input), band applied as a mask.
+    On TPU this BEATS band-compressed lanes whenever
+    round_up(2*band+1, 128) == round_up(L, 128): lane granularity is
+    128, so sub-128 band widths save no VPU work, and the static
+    layout avoids the per-pair dynamic band gather entirely."""
+    bp = skew_ref.shape[0]
+    # The single-chunk case (diagonals fit one streamed block -- the
+    # common shape) uses a 1-D grid and unconditional init: the 2-D
+    # revisited-output form compiles orders of magnitude slower in
+    # Mosaic, so it is reserved for genuinely long segments.
+    chunk = jnp.int32(0) if single_chunk else pl.program_id(1)
+    i_lane = jax.lax.broadcasted_iota(jnp.int32, (bp, length), 1)
+    mlen = mlen_ref[:, :].astype(jnp.int32)                        # [bp, 1]
+    lm1 = jnp.int32(max(length - 1, 1))
+    mm1 = jnp.maximum(mlen - 1, 1)
+    final_k = jnp.int32(length - 1) + mlen - 1                     # [bp, 1]
+
+    @pl.when(chunk == 0)
+    def _init():
+        prev_ref[:, :] = jnp.full((bp, length), _INF)
+        prev2_ref[:, :] = jnp.full((bp, length), _INF)
+        out_ref[:, :] = jnp.full((bp, 1), _INF)
+
+    def step(kk, _):
+        k = chunk * ck + kk
+        prev = prev_ref[:, :]
+        prev2 = prev2_ref[:, :]
+        cost_d = skew_ref[:, kk, :]                                # [bp, L]
+        j = k - i_lane
+        in_rect = (j >= 0) & (j < mlen)
+        in_band = jnp.abs(j * lm1 - i_lane * mm1) <= jnp.int32(band) * lm1
+        prev_up = jnp.where(i_lane == 0, _INF, pltpu.roll(prev, 1, 1))
+        prev2_up = jnp.where(i_lane == 0, _INF, pltpu.roll(prev2, 1, 1))
+        best = jnp.minimum(jnp.minimum(prev_up, prev), prev2_up)
+        best = jnp.where((i_lane == 0) & (j == 0), 0.0, best)
+        diag = jnp.where(in_rect & in_band, cost_d + best, _INF)
+        diag = jnp.minimum(diag, _INF)             # clamp inf+x overflow
+        term = jnp.max(
+            jnp.where(i_lane == length - 1, diag, -_INF), axis=1,
+            keepdims=True,
+        )
+        out_ref[:, :] = jnp.where(k == final_k, term, out_ref[:, :])
+        prev2_ref[:, :] = prev
+        prev_ref[:, :] = diag
+        return 0
+
+    jax.lax.fori_loop(0, ck, step, 0)
+
+
+def _kernel_band(skband_ref, mlen_ref, out_ref, prev_ref, prev2_ref,
+                 ilo1_ref, ilo2_ref, *, length: int, band: int, w: int,
+                 ck: int, single_chunk: bool):
     bp = skband_ref.shape[0]
-    chunk = pl.program_id(1)
+    chunk = jnp.int32(0) if single_chunk else pl.program_id(1)
     l_lane = jax.lax.broadcasted_iota(jnp.int32, (bp, w), 1)
     mlen = mlen_ref[:, :].astype(jnp.int32)                        # [bp, 1]
     lm1 = jnp.int32(max(length - 1, 1))
@@ -187,63 +258,123 @@ def _round_up(n: int, q: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("band", "block_pairs", "chunk_diags", "interpret"),
+    static_argnames=(
+        "band", "block_pairs", "chunk_diags", "interpret", "layout"
+    ),
 )
 def banded_dtw_pallas(
     cost: jnp.ndarray,      # [N, L, M] float32 (N = batch of pairs)
     seg_lens: jnp.ndarray,  # [N] int32 valid columns per pair
     band: int,
-    block_pairs: int = 8,
+    block_pairs: int | None = None,
     chunk_diags: int = 256,
     interpret: bool | None = None,
+    layout: str | None = None,
 ) -> jnp.ndarray:           # [N] float32: D[L-1, seg_len-1]
     """Batched banded-DTW terminal costs, wavefront-parallel in Pallas.
 
     Out-of-band / unreachable pairs return _INF (~3e38), matching the
-    jnp path's +inf up to the finite clamp.  VMEM per step is
-    O(block_pairs * chunk_diags * min(2*band+1, L)) -- independent of
-    the segment length M, which only sets the number of streamed
-    diagonal chunks (SURVEY.md section 5 long-context row: "banded
-    wavefront execution bounds memory to the band").
+    jnp path's +inf up to the finite clamp.  The grid is (pair blocks,
+    diagonal chunks) with the DP state carried in scratch, so VMEM per
+    step is O(block_pairs * chunk_diags * lanes) -- independent of the
+    segment length M, which only sets the number of streamed chunks
+    (SURVEY.md section 5 long-context row).
+
+    ``layout`` picks the diagonal packing:
+
+    * ``"full"`` -- lanes over the L template rows; the skew is a
+      gather-free pad+reshape+transpose and the band applies as a mask.
+      The default whenever L fits the 128-lane register width that
+      min(2*band+1, L) would also occupy: sub-128 band widths save no
+      VPU work, and the band-compressed gather measured ~9x the DP
+      kernel itself.
+    * ``"band"`` -- lanes over the in-band interval (width
+      min(2*band+1, L)): HBM stream and VPU rows scale with the band.
+      Wins only when it saves whole 128-lane registers, i.e. large L
+      with a narrow band; selected automatically then.
+
+    ``block_pairs=None`` picks the largest power-of-two pair block
+    (<= 512) whose streamed chunk fits a ~8 MB double-buffered VMEM
+    budget: each wavefront step is one [bp, lanes] VPU op, so wide
+    pair blocks amortize per-step latency.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     n, length, m = cost.shape
-    if n % block_pairs:
-        raise ValueError(f"n={n} not divisible by block_pairs={block_pairs}")
     w = min(2 * band + 1, length)
+    if layout is None:
+        layout = (
+            "band"
+            if _round_up(w, 128) < _round_up(length, 128)
+            else "full"
+        )
+    lanes = w if layout == "band" else length
     k_diag = length + m - 1
     ck = min(chunk_diags, _round_up(k_diag, 8))
     k_pad = _round_up(k_diag, ck)
-    skband = band_skew_cost(
-        cost.astype(jnp.float32), seg_lens, band, k_pad
-    )
+    if block_pairs is None:
+        lane_pad = _round_up(lanes, 128)
+        budget = 8 * 1024 * 1024
+        block_pairs = 8
+        for bp in (512, 256, 128, 64, 32, 16):
+            if n % bp == 0 and bp * ck * lane_pad * 4 * 2 <= budget:
+                block_pairs = bp
+                break
+    if n % block_pairs:
+        raise ValueError(f"n={n} not divisible by block_pairs={block_pairs}")
     mlen = seg_lens.astype(jnp.int32).reshape(n, 1)
-    grid = (n // block_pairs, k_pad // ck)
+    single = k_pad == ck
+    if layout == "band":
+        data = band_skew_cost(cost.astype(jnp.float32), seg_lens, band, k_pad)
+        kernel = functools.partial(
+            _kernel_band, length=length, band=band, w=w, ck=ck,
+            single_chunk=single,
+        )
+        scratch = [
+            pltpu.VMEM((block_pairs, w), jnp.float32),
+            pltpu.VMEM((block_pairs, w), jnp.float32),
+            pltpu.VMEM((block_pairs, 1), jnp.int32),
+            pltpu.VMEM((block_pairs, 1), jnp.int32),
+        ]
+    else:
+        data = skew_cost_fast(cost.astype(jnp.float32), k_pad)
+        kernel = functools.partial(
+            _kernel_full, length=length, band=band, ck=ck,
+            single_chunk=single,
+        )
+        scratch = [
+            pltpu.VMEM((block_pairs, length), jnp.float32),
+            pltpu.VMEM((block_pairs, length), jnp.float32),
+        ]
+    if single:
+        grid = (n // block_pairs,)
+        in_specs = [
+            pl.BlockSpec((block_pairs, ck, lanes), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_pairs, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_specs = pl.BlockSpec(
+            (block_pairs, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        grid = (n // block_pairs, k_pad // ck)
+        in_specs = [
+            pl.BlockSpec((block_pairs, ck, lanes), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_pairs, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_specs = pl.BlockSpec(
+            (block_pairs, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        )
     out = pl.pallas_call(
-        functools.partial(_kernel, length=length, band=band, w=w, ck=ck),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (block_pairs, ck, w),
-                lambda i, j: (i, j, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (block_pairs, 1), lambda i, j: (i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (block_pairs, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((block_pairs, w), jnp.float32),
-            pltpu.VMEM((block_pairs, w), jnp.float32),
-            pltpu.VMEM((block_pairs, 1), jnp.int32),
-            pltpu.VMEM((block_pairs, 1), jnp.int32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(skband, mlen)
+    )(data, mlen)
     return out.reshape(n)

@@ -291,8 +291,26 @@ def detect_corpus_sharded(
             nfft=nfft, d=d, nms_radius=dcfg.nms_radius, top_k=dcfg.top_k,
         )
 
+    n_time = mesh.shape["time"]
+
+    def coll_bytes(pad_samples: int) -> dict:
+        """Logical collective payload per dispatched batch (SURVEY.md
+        section 5 metrics row "collective bytes"): one source copy per
+        transfer; replication fan-out not multiplied in."""
+        tf = max(fcfg.num_feature_frames(pad_samples), 1)
+        t_pad = _round_up(tf, n_time)
+        by = 0.0
+        if n_time > 1:
+            by += batch * (length - 1) * d * 4          # scoring halo
+            by += 2 * batch * dcfg.nms_radius * 4       # NMS score halos
+            by += batch * n_time * dcfg.top_k * 12      # top-K triple gather
+        if mesh.shape["bank"] > 1:
+            by += batch * mesh.shape["bank"] * t_pad * 8   # best/bid gather
+        return {"collective_bytes": by}
+
     return stream_scan(
         corpus, fcfg, batch, compute, bank.num_templates,
         target_phone=target_phone, manifest=manifest,
         stage_name="detect_corpus_sharded",
+        batch_counter_fn=coll_bytes,
     )

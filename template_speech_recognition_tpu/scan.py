@@ -215,10 +215,15 @@ def stream_scan(
     target_phone: str | None = None,
     manifest=None,
     stage_name: str = "stream_scan",
+    batch_counter_fn=None,
 ):
     """The streaming driver shared by the single-chip and mesh-sharded
     scans: bucket -> batch -> ``compute(wavs [B, S], valid [B]) ->
     (s, t, k) device triples`` -> 1-deep pipelined fetch -> manifest.
+
+    ``batch_counter_fn(pad_samples) -> {counter: value}``: optional
+    per-dispatched-batch accounting hook (e.g. the sharded scan's
+    collective-payload bytes); skipped for manifest-loaded batches.
     """
     from template_speech_recognition_tpu.pipeline import (
         CorpusDetections,
@@ -257,6 +262,9 @@ def stream_scan(
             wavs[row, : len(wav)] = wav
             vs[row] = len(wav)
         out = compute(wavs, vs)
+        if batch_counter_fn is not None:
+            for name, val in batch_counter_fn(pad).items():
+                stats.add(name, val)
         return (sid, gidxs, (out, lens), False)
 
     def drain(flight):

@@ -1,15 +1,31 @@
-"""Tracing / profiling helpers (SURVEY.md section 5).
+"""Tracing / profiling / roofline accounting (SURVEY.md section 5).
 
-Thin wrappers over ``jax.profiler`` and ``jax.named_scope`` so
-pipeline stages show up named in xprof traces; roofline accounting
-helpers for the bench harness live in ``bench.py``.
+Three tiers:
+
+* xprof integration -- ``profile_trace`` / ``named_scope`` wrap
+  ``jax.profiler`` so pipeline stages show up named in traces;
+* **op-level cost models** -- ``CostModel`` computes FLOPs and HBM
+  bytes for the framework's hot ops from their shapes (the numbers the
+  Pallas kernels declare via ``pl.CostEstimate`` and that
+  ``roofline_report`` checks measured times against);
+* **roofline checks** -- given a measured seconds-per-call,
+  ``roofline_report`` returns the compute-bound and memory-bound
+  lower bounds and which resource binds (BASELINE.json:5
+  "speed-of-light per chip"; used by ``bench_dtw.py`` and the bench
+  notes in ``docs/PERFORMANCE.md``).
 """
 
 from __future__ import annotations
 
 import contextlib
+import dataclasses
 
 import jax
+
+# One v5e-class chip (defaults; override per call for other parts).
+PEAK_BF16_FLOPS = 197e12     # MXU, bf16 multiply-accumulate
+PEAK_F32_FLOPS = 49e12       # MXU f32 (HIGHEST precision passes)
+HBM_BYTES_PER_S = 819e9
 
 
 @contextlib.contextmanager
@@ -25,3 +41,98 @@ def profile_trace(log_dir: str | None):
 def named_scope(name: str):
     """Name a region for xprof (usable as decorator or context)."""
     return jax.named_scope(name)
+
+
+@dataclasses.dataclass(frozen=True)
+class OpCost:
+    """Hardware-independent cost of one op invocation."""
+
+    flops: float          # multiply-accumulates x2
+    hbm_bytes: float      # compulsory HBM traffic (reads + writes)
+
+    def __add__(self, other: "OpCost") -> "OpCost":
+        return OpCost(self.flops + other.flops,
+                      self.hbm_bytes + other.hbm_bytes)
+
+
+class CostModel:
+    """Shape -> (FLOPs, bytes) for the framework's hot ops.
+
+    These are *compulsory* costs (ideal fusion, each operand touched
+    once); measured time over the roofline bound is the optimization
+    headroom.
+    """
+
+    @staticmethod
+    def direct_scores(b, t, k, length, d, bytes_per_el=2) -> OpCost:
+        """Direct sliding correlation (conv / correlation_pallas)."""
+        flops = 2.0 * b * t * k * length * d
+        bytes_ = (b * t * d + k * length * d) * bytes_per_el + b * t * k * 4
+        return OpCost(flops, bytes_)
+
+    @staticmethod
+    def fft_scores(b, t, k, length, d, nfft, bytes_per_el=2) -> OpCost:
+        """Overlap-save frequency-domain scoring (detect.fft_scorer)."""
+        bins = nfft // 2 + 1
+        hop = nfft - length + 1
+        nblk = -(-(t - length + 1) // hop)
+        m = b * nblk
+        flops = (
+            2.0 * m * nfft * 2 * bins * d      # forward DFT GEMM
+            + 2.0 * bins * 2 * m * 2 * d * k   # per-bin complex GEMM
+            + 2.0 * hop * 2 * bins * m * k     # inverse DFT GEMM
+        )
+        bytes_ = (
+            b * t * d * bytes_per_el           # features in
+            + bins * 2 * d * k * bytes_per_el  # spectra bank stream
+            + b * t * k * 4                    # scores out
+        )
+        return OpCost(flops, bytes_)
+
+    @staticmethod
+    def frontend(b, samples, frame_length, hop_length, nfft,
+                 n_mels=0) -> OpCost:
+        """Fused DFT[+mel]+log+edge frontend per batch."""
+        t = max(1 + (samples - frame_length) // hop_length, 0)
+        bins = nfft // 2 + 1
+        flops = 2.0 * b * t * frame_length * 2 * bins
+        if n_mels:
+            flops += 2.0 * b * t * bins * n_mels
+        f_out = (n_mels - 1) if n_mels else nfft // 2
+        bytes_ = b * (samples * 4 + t * f_out * 8 * 4)
+        return OpCost(flops, bytes_)
+
+    @staticmethod
+    def dtw(n_pairs, length, m, band, lanes=None) -> OpCost:
+        """Banded wavefront DTW over the skewed cost stream."""
+        lanes = lanes if lanes is not None else length
+        k_diag = length + m - 1
+        # DP min/add work ~ 5 VPU ops per lane-cell; count as "flops"
+        flops = 5.0 * n_pairs * k_diag * lanes
+        bytes_ = n_pairs * (k_diag * lanes * 4 + 4)
+        return OpCost(flops, bytes_)
+
+
+def roofline_report(
+    cost: OpCost,
+    measured_s: float,
+    peak_flops: float = PEAK_BF16_FLOPS,
+    hbm_bytes_per_s: float = HBM_BYTES_PER_S,
+) -> dict:
+    """Compare a measured time against the compute/memory rooflines.
+
+    Returns the two lower bounds, which one binds, and the fraction of
+    the binding roofline achieved (1.0 = speed of light).
+    """
+    t_compute = cost.flops / peak_flops
+    t_memory = cost.hbm_bytes / hbm_bytes_per_s
+    bound = "compute" if t_compute >= t_memory else "memory"
+    t_bound = max(t_compute, t_memory)
+    return {
+        "compute_s": t_compute,
+        "memory_s": t_memory,
+        "bound": bound,
+        "roofline_s": t_bound,
+        "roofline_frac": (t_bound / measured_s) if measured_s > 0 else 0.0,
+        "measured_s": measured_s,
+    }

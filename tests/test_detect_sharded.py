@@ -130,3 +130,10 @@ def test_sharded_scan_manifest_resume(setup, tmp_path, monkeypatch):
     np.testing.assert_array_equal(g.scores, b.scores)
     np.testing.assert_array_equal(g.times, b.times)
     np.testing.assert_array_equal(g.template_ids, b.template_ids)
+
+
+def test_sharded_scan_reports_collective_bytes(setup):
+    corpus, cfg, bank, _ref = setup
+    mesh = build_mesh(MeshConfig(2, 2, 2))
+    got = detect_corpus_sharded(corpus, bank, cfg, mesh, target_phone="aa")
+    assert got.counters.get("collective_bytes", 0) > 0

@@ -88,6 +88,11 @@ def test_long_segment_chunked_wavefront():
     got = np.asarray(
         banded_dtw_pallas(cost, lens, 12, chunk_diags=64, interpret=True)
     )
+    got_band = np.asarray(
+        banded_dtw_pallas(cost, lens, 12, chunk_diags=64, interpret=True,
+                          layout="band")
+    )
+    np.testing.assert_allclose(got_band, got, rtol=1e-6, atol=1e-6)
     want = np.asarray(
         jax.vmap(lambda c, ln: banded_dtw.__wrapped__(c, ln, 12))(cost, lens)
     )

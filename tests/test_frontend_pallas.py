@@ -67,3 +67,40 @@ def test_rejects_bad_shapes():
         edge_responses_pallas(_frames(100, 64), 256, interpret=True)
     with pytest.raises(ValueError):
         edge_responses_pallas(_frames(128, 64), 200, interpret=True)
+
+
+def test_fused_mel_matches_unfused():
+    """Log-mel variant: the filterbank projects inside the kernel
+    (round-1 verdict, missing item 3 / BASELINE.json:5 mel variant)."""
+    from template_speech_recognition_tpu.ops.dft import log_mel_spectrogram
+
+    t, fl, nfft, sr, n_mels = 128, 64, 200, 16000, 40
+    frames = _frames(t, fl, seed=3)
+    got = np.asarray(
+        edge_responses_pallas(frames, nfft, interpret=True,
+                              sample_rate=sr, n_mels=n_mels)
+    )[: t - 1]
+    want = np.asarray(
+        edges.edge_responses(log_mel_spectrogram(frames, nfft, sr, n_mels))
+    )
+    assert got.shape == want.shape == (t - 1, n_mels - 1, 8)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_frontend_mel_fused_flag_matches_default():
+    from template_speech_recognition_tpu.config import FrontendConfig
+    from template_speech_recognition_tpu.frontend import frontend
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg = FrontendConfig(use_mel=True, n_mels=48)
+    rng = np.random.default_rng(4)
+    wav = jnp.asarray(rng.standard_normal(16384).astype(np.float32))
+    nv = jnp.int32(15000)
+    base = frontend(wav, nv, cfg)
+    with pltpu.force_tpu_interpret_mode():
+        fused = frontend(wav, nv, cfg, use_pallas=True)
+    assert int(base.valid_frames) == int(fused.valid_frames)
+    b0, b1 = np.asarray(base.binary), np.asarray(fused.binary)
+    assert b0.shape == b1.shape == (b0.shape[0], cfg.n_mels - 1, 8)
+    agree = float((b0 == b1).mean())
+    assert agree >= 0.999, agree

@@ -92,6 +92,32 @@ def check_edge_responses() -> dict:
     return {"kernel": "edge_responses_pallas", "ok": bool(err < 1e-3), "scaled_err": err}
 
 
+def check_frontend_mel_fused() -> dict:
+    """Compiled log-mel fused frontend vs the XLA path (the filterbank
+    projects inside the kernel; round-1 verdict, missing item 3)."""
+    import jax.numpy as jnp
+    from template_speech_recognition_tpu.ops import edges
+    from template_speech_recognition_tpu.ops.dft import log_mel_spectrogram
+    from template_speech_recognition_tpu.ops.frontend_pallas import (
+        edge_responses_pallas,
+    )
+
+    rng = np.random.default_rng(5)
+    t, fl, nfft, sr, n_mels = 256, 400, 512, 16000, 64
+    frames = jnp.asarray(rng.standard_normal((t, fl)).astype(np.float32))
+    got = np.asarray(
+        edge_responses_pallas(frames, nfft, sample_rate=sr, n_mels=n_mels)
+    )[: t - 1]
+    want = np.asarray(
+        edges.edge_responses(log_mel_spectrogram(frames, nfft, sr, n_mels))
+    )
+    err = _scaled_err(got, want)
+    return {
+        "kernel": "frontend_mel_fused", "ok": bool(err < 1e-3),
+        "scaled_err": err,
+    }
+
+
 def check_correlation() -> dict:
     import jax.numpy as jnp
     from oracle.score import sliding_score
@@ -244,6 +270,7 @@ def check_int32_bit_parity() -> dict:
 
 CHECKS = [
     check_frontend_fused,
+    check_frontend_mel_fused,
     check_edge_responses,
     check_correlation,
     check_dtw,
