@@ -44,14 +44,11 @@ import numpy as np
 def _enable_compile_cache():
     """Persistent on-disk compilation cache: repeat bench runs (fresh
     processes) skip the remote TPU compile."""
-    import jax
+    from template_speech_recognition_tpu.utils.compile_cache import (
+        enable_compile_cache,
+    )
 
-    cache_dir = os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass  # older jax: flag names differ; cache is an optimization only
+    enable_compile_cache()
 
 
 def _slope_time(score_batch, feats, *operands, iters=8, reps=(4, 16)):

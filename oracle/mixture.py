@@ -108,6 +108,7 @@ def bernoulli_mixture_em_restarts(
     """
     n = np.asarray(x).shape[0]
     best = None
+    best_final = -np.inf
     best_r = -1
     for r in range(num_restarts):
         resp = init_responsibilities(n, num_components, seed + r)
@@ -115,8 +116,9 @@ def bernoulli_mixture_em_restarts(
             x, resp, num_iters=num_iters, eps=eps, tol=tol
         )
         final = history[-1] if len(history) else -np.inf
-        if best is None or final > best[1][-1]:
-            best = ((means, weights, history, iters), history)
+        if best is None or final > best_final:
+            best = (means, weights, history, iters)
+            best_final = final
             best_r = r
-    (means, weights, history, iters), _ = best
+    means, weights, history, iters = best
     return means, weights, history, iters, best_r

@@ -23,9 +23,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
-_INF = jnp.float32(jnp.inf)
+_INF = np.float32(np.inf)  # np scalar: no backend init at import
 _PRECISION = lax.Precision.HIGHEST
 
 

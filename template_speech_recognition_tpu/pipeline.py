@@ -340,6 +340,12 @@ def _detect_corpus_loop(
         # sliding_score_int on the same binary maps (BASELINE.json:5).
         w_int, c_int = bank.llr_quantized(dcfg.quant_scale)
     w, c = bank.llr()
+    from template_speech_recognition_tpu.ops.layout import (
+        channels_to_flat as _to_flat,
+        filters_to_flat as _w_to_flat,
+    )
+
+    w_flat = _w_to_flat(jnp.asarray(w)) if bank.parts is None else None
     fft_bank = None
     if dcfg.score_backend == "fft" and not dcfg.exact_scores:
         # Frequency-domain fast path: spectra built once per bank
@@ -351,12 +357,22 @@ def _detect_corpus_loop(
             from template_speech_recognition_tpu.detect.fft_scorer import (
                 build_fft_bank,
             )
+            from template_speech_recognition_tpu.ops.layout import (
+                filters_to_flat,
+            )
 
-            fft_bank = build_fft_bank(jnp.asarray(w), jnp.asarray(c))
+            # Flat channel-major layout, matching the streaming scan's
+            # frontend_batch_flat features bit-for-bit (ops.layout).
+            fft_bank = build_fft_bank(
+                filters_to_flat(jnp.asarray(w)), jnp.asarray(c)
+            )
     if dcfg.dtw_rescore:
         # Built once; the old per-utterance rebuild forced a host round
-        # trip each iteration (round-1 verdict, weak item 4).
+        # trip each iteration (round-1 verdict, weak item 4).  Flat
+        # channel-major rows: LLR sums bit-match the streaming scan's.
         w_rows, c_rows = bank.llr_rows()
+        if bank.parts is None:
+            w_rows = _w_to_flat(jnp.asarray(w_rows))
     per_utt, labels, utt_ids = [], [], []
     total_samples = 0
     stats.start("scan")
@@ -392,19 +408,25 @@ def _detect_corpus_loop(
             from template_speech_recognition_tpu.detect.fft_scorer import (
                 fft_sliding_scores,
             )
-
             # time-major end to end: the fused FFT epilogue's native
             # layout flows through masking and NMS with no transpose;
             # trim=False skips the tail slice (padded window starts are
-            # masked below like any other invalid start).
+            # masked below like any other invalid start).  Features go
+            # flat to match the bank's filters_to_flat spectra.
             scores_t = fft_sliding_scores(
-                feat_map[None], fft_bank, time_major=True, trim=False
+                _to_flat(feat_map)[None], fft_bank,
+                time_major=True, trim=False,
             )[0]
             scores = masked_scores(
                 scores_t, valid, bank.template_length, time_major=True
             )
         else:
-            scores = sliding_scores(feat_map, w, c)
+            if w_flat is not None:
+                # flat channel-major contraction: bit-identical scores
+                # to the streaming scan's conv path (ops.layout)
+                scores = sliding_scores(_to_flat(feat_map), w_flat, c)
+            else:
+                scores = sliding_scores(feat_map, w, c)
         if fft_bank is None:
             scores = masked_scores(scores, valid, bank.template_length)
         nf = (
@@ -415,13 +437,16 @@ def _detect_corpus_loop(
             nf = max((nf - cfg.parts.patch_time) // cfg.parts.stride_time + 1, 0)
         stats.add("windows_scored", float(nf) * bank.num_templates)
         s, t, k = top_detections(
-            scores, dcfg.nms_radius, dcfg.top_k,
+            scores, dcfg.nms_radius,
+            dcfg.effective_top_k(pad, fcfg.sample_rate),
             time_major=fft_bank is not None,
         )
         if dcfg.dtw_rescore:
             m_seg = bank.template_length + cfg.dtw.band
             s, k = dtw_rescore_detections(
-                feat_map.astype(jnp.float32), valid, s, t, w_rows, c_rows,
+                (_to_flat(feat_map) if bank.parts is None else feat_map
+                 ).astype(jnp.float32),
+                valid, s, t, w_rows, c_rows,
                 m_seg, cfg.dtw.band,
                 # Wavefront kernel on accelerators (5x faster compile,
                 # same results); interpret-mode pallas is slow on CPU.
@@ -452,17 +477,35 @@ def _detect_corpus_loop(
 
 
 def evaluate_detections(
-    result: CorpusDetections, tolerance: int
+    result: CorpusDetections,
+    tolerance: int,
+    template_mask: np.ndarray | None = None,
 ) -> dict[str, float | np.ndarray]:
-    """ROC / EER over a corpus scan (host-side)."""
+    """ROC / EER over a corpus scan (host-side).
+
+    ``template_mask``: optional bool array over template ids.  With a
+    multi-class bank, detections won by another class's templates are
+    not candidate detections *of the target phone* -- pass
+    ``np.asarray([lbl == phone for lbl in bank.labels])`` to restrict
+    the ROC to the target class (otherwise every foreign-class peak
+    counts as a false positive of the target).
+    """
+    dets = result.detections
+    if template_mask is not None:
+        template_mask = np.asarray(template_mask, dtype=bool)
+        keep = template_mask[np.asarray(dets.template_ids, dtype=np.int64)]
+        dets = ev.DetectionSet(
+            dets.scores[keep], dets.times[keep],
+            dets.template_ids[keep], dets.utterance_ids[keep],
+        )
     is_tp, num_labels = ev.match_detection_set(
-        result.detections, result.labels_per_utterance, tolerance
+        dets, result.labels_per_utterance, tolerance
     )
     thr, tpr, fps = ev.roc_curve(
-        result.detections.scores, is_tp, num_labels, result.audio_seconds
+        dets.scores, is_tp, num_labels, result.audio_seconds
     )
     return {
-        "num_detections": float(len(result.detections.scores)),
+        "num_detections": float(len(dets.scores)),
         "num_labels": float(num_labels),
         "thresholds": thr,
         "tpr": tpr,

@@ -42,8 +42,9 @@ from template_speech_recognition_tpu.detect.scorer import (
     masked_scores,
     sliding_scores_batch,
 )
-from template_speech_recognition_tpu.frontend import frontend_batch
+from template_speech_recognition_tpu.frontend import frontend_batch_flat
 from template_speech_recognition_tpu.models.bank import TemplateBank
+from template_speech_recognition_tpu.ops.layout import filters_to_flat
 
 
 def batched_top_detections(scores, valid_frames, template_length,
@@ -112,9 +113,13 @@ def scan_step(
 ):
     """One fused scan step: waveforms -> fixed-size detections, no host
     syncs anywhere inside.  Padded batch rows (valid_samples == 0) come
-    out as all--inf detections and are dropped host-side."""
+    out as all--inf detections and are dropped host-side.
+
+    Features flow FLAT ([B, T, D], channel-major -- see ops.layout):
+    the filters/bank passed in must be flattened with
+    ``ops.layout.filters_to_flat`` (``detect_corpus_stream`` does)."""
     on_accel = jax.default_backend() != "cpu"
-    fm = frontend_batch.__wrapped__(wavs, valid_samples, cfg=fcfg)
+    fm = frontend_batch_flat.__wrapped__(wavs, valid_samples, cfg=fcfg)
     if backend == "fft":
         from template_speech_recognition_tpu.detect.fft_scorer import (
             fft_sliding_scores,
@@ -176,27 +181,32 @@ def detect_corpus_stream(
         )
 
         wf, cf = bank.llr()
-        fft_bank = build_fft_bank(wf, cf)
+        fft_bank = build_fft_bank(filters_to_flat(wf), cf)
     else:
         w, c = bank.llr()
+        w = filters_to_flat(w)
     w_rows = c_rows = None
     m_seg = 1
     if dcfg.dtw_rescore:
         w_rows, c_rows = bank.llr_rows()
+        w_rows = filters_to_flat(w_rows)
         m_seg = bank.template_length + cfg.dtw.band
     batch_size = max(1, dcfg.batch_size)
     step = functools.partial(
         scan_step,
         fcfg=fcfg, backend=backend,
         template_length=bank.template_length,
-        nms_radius=dcfg.nms_radius, top_k=dcfg.top_k,
+        nms_radius=dcfg.nms_radius,
         dtw=dcfg.dtw_rescore, m_seg=m_seg, band=cfg.dtw.band,
     )
 
     def compute(wavs_np, vs_np):
+        # Detection budget scales with the bucket length (static per
+        # bucket, so no extra recompiles beyond the bucket shapes).
         return step(
             jnp.asarray(wavs_np), jnp.asarray(vs_np),
             fft_bank, w, c, w_rows, c_rows,
+            top_k=dcfg.effective_top_k(wavs_np.shape[1], fcfg.sample_rate),
         )
 
     return stream_scan(
@@ -216,6 +226,7 @@ def stream_scan(
     manifest=None,
     stage_name: str = "stream_scan",
     batch_counter_fn=None,
+    fetch=np.asarray,
 ):
     """The streaming driver shared by the single-chip and mesh-sharded
     scans: bucket -> batch -> ``compute(wavs [B, S], valid [B]) ->
@@ -224,6 +235,9 @@ def stream_scan(
     ``batch_counter_fn(pad_samples) -> {counter: value}``: optional
     per-dispatched-batch accounting hook (e.g. the sharded scan's
     collective-payload bytes); skipped for manifest-loaded batches.
+    ``fetch``: device->host conversion for the result triples; the
+    multi-process sharded scan passes ``feeding.fetch_global`` (a
+    data-sharded triple is not host-addressable in one process).
     """
     from template_speech_recognition_tpu.pipeline import (
         CorpusDetections,
@@ -271,7 +285,7 @@ def stream_scan(
         sid, gidxs, out, on_host = flight
         if not on_host:
             out, lens = out
-        s, t, k = (np.asarray(a) for a in out)
+        s, t, k = (fetch(a) for a in out)
         if manifest is not None and not on_host:
             manifest.record(
                 sid,

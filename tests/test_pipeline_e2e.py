@@ -33,10 +33,12 @@ def test_single_template_end_to_end(corpus):
     metrics = evaluate_detections(result, cfg.detect.match_tolerance)
     assert metrics["num_labels"] > 0
     assert metrics["num_detections"] > 0
-    # The detector must actually find the phone: the synthetic corpus is
-    # easy, so demand good recall at the best threshold and a sane EER.
-    assert metrics["best_tpr"] >= 0.7, metrics
-    assert metrics["eer"] <= 0.5, metrics
+    # The synthetic corpus is easy by construction: the detector must
+    # essentially nail it (round-2 verdict, next-item 4 -- the old
+    # gates would have passed a near-random detector).  Measured on
+    # this fixture: eer == 0.0, best_tpr == 1.0.
+    assert metrics["best_tpr"] >= 0.9, metrics
+    assert metrics["eer"] <= 0.15, metrics
 
 
 def test_mixture_bank_end_to_end(corpus):
@@ -45,9 +47,16 @@ def test_mixture_bank_end_to_end(corpus):
     assert bank.num_templates == 4
     assert bank.labels == ["aa", "aa", "iy", "iy"]
     result = detect_corpus(corpus, bank, cfg, target_phone="aa")
-    metrics = evaluate_detections(result, cfg.detect.match_tolerance)
+    # Restrict the ROC to the target class's templates: with a
+    # multi-class bank, 'iy' wins at 'iy' locations by design and must
+    # not count as 'aa' false positives.
+    mask = np.asarray([lbl == "aa" for lbl in bank.labels])
+    metrics = evaluate_detections(
+        result, cfg.detect.match_tolerance, template_mask=mask
+    )
     assert metrics["num_detections"] > 0
-    assert metrics["best_tpr"] >= 0.5, metrics
+    assert metrics["best_tpr"] >= 0.9, metrics
+    assert metrics["eer"] <= 0.15, metrics
 
 
 def test_detections_deterministic(corpus):
@@ -67,7 +76,8 @@ def test_fft_backend_end_to_end(corpus):
     result = detect_corpus(corpus, bank, cfg, target_phone="aa")
     metrics = evaluate_detections(result, cfg.detect.match_tolerance)
     assert metrics["num_detections"] > 0
-    assert metrics["best_tpr"] >= 0.7, metrics
+    assert metrics["best_tpr"] >= 0.9, metrics
+    assert metrics["eer"] <= 0.15, metrics
 
     ref = detect_corpus(
         corpus, bank, PipelineConfig(), target_phone="aa"
