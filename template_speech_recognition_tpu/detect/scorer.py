@@ -100,7 +100,9 @@ def sliding_scores_int(
     w_int: jnp.ndarray,
     c_int: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Bit-parity int32 path: feats [T',F,E], W_int [K,L,F,E] int32.
+    """Bit-parity int32 path: feats [T',F,E] (or flat [T',D]), W_int
+    [K,L,F,E] (or flat [K,L,D]) int32, consistently flattened
+    (``ops.layout``).
 
     int32 addition is modular, hence order-independent: the result is
     bit-identical to ``oracle.score.sliding_score_int`` regardless of
@@ -109,7 +111,7 @@ def sliding_scores_int(
     """
     k, length = w_int.shape[0], w_int.shape[1]
     t = feats.shape[0]
-    d = w_int.shape[2] * w_int.shape[3]
+    d = int(np.prod(w_int.shape[2:]))
     x = feats.reshape(t, d).astype(jnp.int32)
     n_win = t - length + 1
     idx = jnp.arange(n_win)[:, None] + jnp.arange(length)[None, :]   # [T'', L]

@@ -25,7 +25,12 @@ fixed-size triples:
   exactly like the unsharded scan;
 * top-K: shard-local ``lax.top_k`` then per-utterance
   ``merge_topk_collective_batched`` over the ``time`` axis -- only
-  fixed-size (score, time, id) triples ever cross shards.
+  fixed-size (score, time, id) triples ever cross shards;
+* optional config-4 DTW rescoring of the merged peaks runs inside the
+  same step (owner-time-shard gathers segments from the widened
+  feature halo, banked per-row filters stay bank-sharded), and the
+  int32 bit-parity backend runs shard-local with bitwise-identical
+  scores (round-2 verdict, missing item 3).
 
 Output is the same ``CorpusDetections`` as the unsharded paths, so
 ``evaluate_detections`` works unchanged.
@@ -63,15 +68,17 @@ def _round_up(n: int, q: int) -> int:
     jax.jit,
     static_argnames=(
         "mesh", "fcfg", "backend", "length", "nfft", "d",
-        "nms_radius", "top_k",
+        "nms_radius", "top_k", "dtw", "m_seg", "band", "quant_scale",
     ),
 )
 def sharded_scan_step(
     wavs: jnp.ndarray,            # [B, S] data-sharded
     valid_samples: jnp.ndarray,   # [B]    data-sharded
     w2,                           # fft: [bins, 2D, K_pad] bank-sharded | None
-    w,                            # conv: [K_pad, L, D] bank-sharded | None
-    c: jnp.ndarray,               # [K_pad] bank-sharded
+    w,                            # conv f32 / exact int32: [K_pad, L, D] | None
+    c: jnp.ndarray,               # [K_pad] f32 (exact: int32) bank-sharded
+    w_rows,                       # dtw: [K_pad, L, D] bank-sharded | dummy
+    c_rows,                       # dtw: [K_pad, L] bank-sharded | dummy
     *,
     mesh: Mesh,
     fcfg,
@@ -81,10 +88,24 @@ def sharded_scan_step(
     d: int,
     nms_radius: int,
     top_k: int,
+    dtw: bool = False,
+    m_seg: int = 1,
+    band: int = 0,
+    quant_scale: int = 256,
 ):
     """One sharded batch step: padded waveforms -> per-utterance global
     top-K detections.  Returns (s, t, k) [B, top_k], data-sharded and
-    replicated over bank/time."""
+    replicated over bank/time.
+
+    ``backend``: "fft" | "conv" | "exact" (int32 bit-parity scoring,
+    BASELINE.json:5).  ``dtw=True`` rescores the merged top-K peaks
+    with banded DTW INSIDE the mesh (BASELINE.json:10 at config-5
+    scale): the time halo widens to m_seg-1 frames so every shard can
+    gather full segments for the peaks it owns; each peak is rescored
+    by its owning time shard against the bank-sharded per-row filters,
+    combined over ``bank`` by max (lowest-id ties) and over ``time``
+    by pmax/psum of the owner's values."""
+    halo_len = max(length - 1, (m_seg - 1) if dtw else 0)
     fm = frontend_batch_flat.__wrapped__(wavs, valid_samples, cfg=fcfg)
     b, tdim = fm.binary.shape[0], fm.binary.shape[1]
     n_time = mesh.shape["time"]
@@ -96,25 +117,26 @@ def sharded_scan_step(
             f"time shard length {t_pad // n_time} < nms_radius "
             f"{nms_radius}: NMS halo would span multiple shards"
         )
-    if t_pad // n_time < length - 1:
+    if t_pad // n_time < halo_len:
         raise ValueError(
-            f"time shard length {t_pad // n_time} < template_length-1 "
-            f"({length - 1}): scoring halo would span multiple shards"
+            f"time shard length {t_pad // n_time} < halo {halo_len} "
+            "(template_length-1, or m_seg-1 with dtw): halo would span "
+            "multiple shards"
         )
 
-    def body(feats_l, vf_l, w2_l, w_l, c_l):
+    def body(feats_l, vf_l, w2_l, w_l, c_l, wr_l, cr_l):
         # feats_l [B_l, T_l, D]; vf_l [B_l]; bank shards over K
         t_l = feats_l.shape[1]
         n_t = lax.axis_size("time")
-        # -- scoring halo: L-1 frames from the right neighbor ----------
-        halo = feats_l[:, : length - 1, :]
+        # -- halo: features from the right neighbor --------------------
+        halo = feats_l[:, :halo_len, :]
         if n_t > 1:
             halo = lax.ppermute(
                 halo, "time", [(i, i - 1) for i in range(1, n_t)]
             )
         else:
             halo = jnp.zeros_like(halo)
-        ext = jnp.concatenate([feats_l, halo], axis=1)  # [B_l, T_l+L-1, D]
+        ext = jnp.concatenate([feats_l, halo], axis=1)  # [B_l, T_l+halo, D]
         if backend == "fft":
             from template_speech_recognition_tpu.detect.fft_scorer import (
                 FFTBank,
@@ -124,7 +146,20 @@ def sharded_scan_step(
             bank_l = FFTBank(
                 w2=w2_l, c=c_l, length=length, nfft=nfft, d=d
             )
-            scores = fft_sliding_scores(ext, bank_l)     # [B_l, K_l, T_l]
+            scores = fft_sliding_scores(ext, bank_l)[:, :, :t_l]
+        elif backend == "exact":
+            from template_speech_recognition_tpu.detect.scorer import (
+                sliding_scores_int,
+            )
+
+            # int32 modular sums are order-independent: shard-local
+            # windows give bit-identical scores to the unsharded path
+            scores_i = jax.vmap(
+                lambda f: sliding_scores_int.__wrapped__(
+                    f.astype(jnp.int32), w_l, c_l
+                )[:, :t_l]
+            )(ext.astype(jnp.int32))                      # [B_l, K_l, T_l]
+            scores = scores_i.astype(jnp.float32) / jnp.float32(quant_scale)
         else:
             scores = jax.vmap(
                 lambda f: _conv_scores(
@@ -189,21 +224,66 @@ def sharded_scan_step(
             ids = jnp.concatenate(
                 [ids, jnp.zeros((ids.shape[0], pad), ids.dtype)], axis=1
             )
-        return merge_topk_collective_batched(
+        s_m, t_m, k_m = merge_topk_collective_batched(
             vals, (times + t0).astype(jnp.int32), ids, ("time",), top_k
+        )                                                 # [B_l, top_k] each
+        if not dtw:
+            return s_m, t_m, k_m
+        # -- config 4 under the mesh: DTW-rescore the merged peaks -----
+        from template_speech_recognition_tpu.align.dtw import (
+            dtw_keyword_scores_batch,
         )
 
-    w2_spec = P(None, None, "bank")
-    w_spec = P("bank", None, None)
+        use_pallas = jax.default_backend() != "cpu"
+        b_l, p = s_m.shape
+        keep = jnp.isfinite(s_m)
+        # each peak is owned by the time shard containing its start
+        local = (t_m >= t0) & (t_m < t0 + t_l)
+        lt = jnp.clip(t_m - t0, 0, t_l - 1)
+        # segments fit entirely in ext: lt + m_seg - 1 <= t_l + halo - 1
+        idx = lt[:, :, None] + jnp.arange(m_seg, dtype=jnp.int32)[None, None]
+        segs = jax.vmap(lambda fmap, ix: jnp.take(fmap, ix, axis=0))(
+            ext, idx
+        )                                                 # [B_l, P, m, D]
+        seg_lens = jnp.clip(vf_l.astype(jnp.int32)[:, None] - t_m, 1, m_seg)
+        pair = dtw_keyword_scores_batch.__wrapped__(
+            segs.reshape((b_l * p, m_seg) + segs.shape[3:]),
+            seg_lens.reshape(-1),
+            wr_l, cr_l, band, use_pallas,
+        ).reshape(b_l, p, -1)                             # [B_l, P, K_l]
+        best_p = jnp.max(pair, axis=-1)
+        bid_p = (
+            jnp.argmax(pair, axis=-1).astype(jnp.int32)
+            + lax.axis_index("bank") * pair.shape[-1]
+        )
+        gs = lax.all_gather(best_p, "bank")               # [n_bank, B_l, P]
+        gi = lax.all_gather(bid_p, "bank")
+        bb = jnp.max(gs, axis=0)
+        bi = jnp.min(
+            jnp.where(gs == bb[None], gi, jnp.int32(2**31 - 1)), axis=0
+        )
+        own = local & keep
+        bb = jnp.where(own, bb, _NEG)
+        bi = jnp.where(own, bi, 0)
+        bb = lax.pmax(bb, "time")       # exactly one owner per peak
+        bi = lax.psum(bi, "time")       # non-owners contribute 0
+        return (
+            jnp.where(keep, bb, _NEG),
+            t_m,
+            jnp.where(keep, bi, 0),
+        )
+
     fn = shard_map(
         body,
         mesh=mesh,
         in_specs=(
             P("data", "time", None),
             P("data"),
-            w2_spec if backend == "fft" else P(),
-            w_spec if backend != "fft" else P(),
+            P(None, None, "bank") if backend == "fft" else P(),
+            P("bank", None, None) if backend != "fft" else P(),
             P("bank"),
+            P("bank", None, None) if dtw else P(),
+            P("bank", None) if dtw else P(),
         ),
         out_specs=(P("data", None), P("data", None), P("data", None)),
         check_vma=False,
@@ -213,9 +293,13 @@ def sharded_scan_step(
         (valid_samples - fcfg.frame_length) // fcfg.hop_length,
         0,
     ).astype(jnp.int32)
+    dummy3 = jnp.zeros((1, 1, 1), jnp.float32)
+    dummy2 = jnp.zeros((1, 1), jnp.float32)
+    if not dtw:
+        w_rows, c_rows = dummy3, dummy2
     if backend == "fft":
-        return fn(feats, vf, w2, jnp.zeros((1, 1, 1), jnp.float32), c)
-    return fn(feats, vf, jnp.zeros((1, 1, 1), jnp.float32), w, c)
+        return fn(feats, vf, w2, dummy3, c, w_rows, c_rows)
+    return fn(feats, vf, dummy3, w, c, w_rows, c_rows)
 
 
 def detect_corpus_sharded(
@@ -239,17 +323,20 @@ def detect_corpus_sharded(
     from template_speech_recognition_tpu.scan import stream_scan
 
     fcfg, dcfg = cfg.frontend, cfg.detect
-    backend = dcfg.score_backend
-    if backend not in ("fft", "conv"):
-        raise ValueError(f"sharded scan supports fft|conv, got {backend!r}")
-    if dcfg.dtw_rescore or dcfg.exact_scores or bank.parts is not None:
+    backend = "exact" if dcfg.exact_scores else dcfg.score_backend
+    if backend not in ("fft", "conv", "exact"):
+        raise ValueError(f"sharded scan supports fft|conv|exact, got {backend!r}")
+    if bank.parts is not None:
         raise ValueError(
-            "sharded streaming scan covers the fft/conv dense paths; "
-            "use pipeline.detect_corpus for dtw/exact/parts"
+            "sharded streaming scan covers the dense feature paths; "
+            "use pipeline.detect_corpus for parts-coded maps"
         )
     n_data = mesh.shape["data"]
     n_bank = mesh.shape["bank"]
-    wf, cf = bank.llr()
+    if backend == "exact":
+        wf, cf = bank.llr_quantized(dcfg.quant_scale)
+    else:
+        wf, cf = bank.llr()
     wf = filters_to_flat(wf)   # features flow flat (ops.layout)
     k = wf.shape[0]
     length = bank.template_length
@@ -259,7 +346,41 @@ def detect_corpus_sharded(
         wf = jnp.concatenate(
             [wf, jnp.zeros((k_pad - k,) + wf.shape[1:], wf.dtype)]
         )
-        cf = jnp.concatenate([cf, jnp.full((k_pad - k,), -jnp.inf)])
+        # padded templates can never win: -inf offsets (exact path:
+        # a huge negative int32 that stays far below any real score
+        # without wrapping)
+        pad_c = (
+            jnp.full((k_pad - k,), jnp.int32(-(2**30)), cf.dtype)
+            if backend == "exact"
+            else jnp.full((k_pad - k,), -jnp.inf)
+        )
+        cf = jnp.concatenate([cf, pad_c])
+    m_seg = 1
+    w_rows = c_rows = None
+    if dcfg.dtw_rescore:
+        m_seg = bank.template_length + cfg.dtw.band
+        wr, cr = bank.llr_rows()
+        wr = filters_to_flat(wr)
+        if k_pad != k:
+            wr = jnp.concatenate(
+                [wr, jnp.zeros((k_pad - k,) + wr.shape[1:], wr.dtype)]
+            )
+            # large finite negative (not -inf: inf-inf in the DP would
+            # turn padded-template scores into NaN and poison the max)
+            cr = jnp.concatenate(
+                [cr, jnp.full((k_pad - k,) + cr.shape[1:], -1e30)]
+            )
+        from template_speech_recognition_tpu.parallel.feeding import (
+            put_sharded as _put,
+        )
+
+        w_rows = _put(
+            np.asarray(wr, np.float32),
+            NamedSharding(mesh, P("bank", None, None)),
+        )
+        c_rows = _put(
+            np.asarray(cr, np.float32), NamedSharding(mesh, P("bank", None))
+        )
 
     from template_speech_recognition_tpu.parallel.feeding import (
         fetch_global,
@@ -280,13 +401,12 @@ def detect_corpus_sharded(
         c = put_sharded(np.asarray(fbank.c), NamedSharding(mesh, P("bank")))
     else:
         nfft = 0
+        dt = np.int32 if backend == "exact" else np.float32
         w = put_sharded(
-            np.asarray(wf, np.float32).reshape(k_pad, length, d),
+            np.asarray(wf, dt).reshape(k_pad, length, d),
             NamedSharding(mesh, P("bank", None, None)),
         )
-        c = put_sharded(
-            np.asarray(cf, np.float32), NamedSharding(mesh, P("bank"))
-        )
+        c = put_sharded(np.asarray(cf, dt), NamedSharding(mesh, P("bank")))
 
     batch = _round_up(max(dcfg.batch_size, n_data), n_data)
     data_sh = NamedSharding(mesh, P("data"))
@@ -297,10 +417,12 @@ def detect_corpus_sharded(
         wavs = put_sharded(wavs_np, wav_sh)
         vs = put_sharded(vs_np.astype(np.int32), data_sh)
         return sharded_scan_step(
-            wavs, vs, w2, w, c,
+            wavs, vs, w2, w, c, w_rows, c_rows,
             mesh=mesh, fcfg=fcfg, backend=backend, length=length,
             nfft=nfft, d=d, nms_radius=dcfg.nms_radius,
             top_k=dcfg.effective_top_k(wavs_np.shape[1], fcfg.sample_rate),
+            dtw=dcfg.dtw_rescore, m_seg=m_seg, band=cfg.dtw.band,
+            quant_scale=dcfg.quant_scale,
         )
 
     n_time = mesh.shape["time"]
@@ -312,15 +434,20 @@ def detect_corpus_sharded(
         tf = max(fcfg.num_feature_frames(pad_samples), 1)
         t_pad = _round_up(tf, n_time)
         kk = dcfg.effective_top_k(pad_samples, fcfg.sample_rate)
+        halo_len = max(length - 1, (m_seg - 1) if dcfg.dtw_rescore else 0)
         by = 0.0
         if n_time > 1:
             # one source copy per transfer: n_time-1 neighbor transfers
             # per halo direction, matching the top-K/bank-gather terms
-            by += batch * (n_time - 1) * (length - 1) * d * 4   # scoring halo
+            by += batch * (n_time - 1) * halo_len * d * 4   # feature halo
             by += 2 * batch * (n_time - 1) * dcfg.nms_radius * 4  # NMS halos
             by += batch * n_time * kk * 12               # top-K triple gather
+            if dcfg.dtw_rescore:
+                by += 2 * batch * (n_time - 1) * kk * 8  # dtw pmax/psum
         if mesh.shape["bank"] > 1:
             by += batch * mesh.shape["bank"] * t_pad * 8   # best/bid gather
+            if dcfg.dtw_rescore:
+                by += batch * mesh.shape["bank"] * kk * 8  # dtw rescore gather
         return {"collective_bytes": by}
 
     return stream_scan(

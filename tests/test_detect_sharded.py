@@ -137,3 +137,54 @@ def test_sharded_scan_reports_collective_bytes(setup):
     mesh = build_mesh(MeshConfig(2, 2, 2))
     got = detect_corpus_sharded(corpus, bank, cfg, mesh, target_phone="aa")
     assert got.counters.get("collective_bytes", 0) > 0
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 1, 4), (2, 2, 1), (1, 2, 2)])
+def test_sharded_dtw_rescore_matches_loop(setup, mesh_shape):
+    """Config 4 under the mesh (round-2 verdict, missing item 3): the
+    sharded streaming scan with DTW rescoring == the per-utterance
+    loop's DTW rescore (same peaks, same rescored templates; scores
+    allclose -- GEMM order differs across shardings)."""
+    from template_speech_recognition_tpu.config import DetectConfig, override
+    from template_speech_recognition_tpu.pipeline import _detect_corpus_loop
+
+    corpus, cfg, bank, _ = setup
+    cfg_dtw = override(cfg, detect=override(cfg.detect, dtw_rescore=True))
+    ref = _detect_corpus_loop(corpus, bank, cfg_dtw, target_phone="aa")
+    mesh = build_mesh(MeshConfig(*mesh_shape))
+    got = detect_corpus_sharded(corpus, bank, cfg_dtw, mesh, target_phone="aa")
+    r, g = ref.detections, got.detections
+    assert len(g.scores) == len(r.scores)
+    order_r = np.lexsort((r.times, r.utterance_ids))
+    order_g = np.lexsort((g.times, g.utterance_ids))
+    np.testing.assert_array_equal(g.times[order_g], r.times[order_r])
+    np.testing.assert_array_equal(
+        g.template_ids[order_g], r.template_ids[order_r]
+    )
+    np.testing.assert_allclose(
+        g.scores[order_g], r.scores[order_r], rtol=1e-4, atol=1e-4
+    )
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 1, 4), (2, 2, 1), (1, 2, 2)])
+def test_sharded_exact_scores_bitwise(setup, mesh_shape):
+    """Bit-parity int32 scoring under the mesh: detections (scores,
+    times, ids) EXACTLY equal the unsharded exact path -- int32 sums
+    are order-independent, so sharding must not change a single bit."""
+    from template_speech_recognition_tpu.config import override
+    from template_speech_recognition_tpu.pipeline import _detect_corpus_loop
+
+    corpus, cfg, bank, _ = setup
+    cfg_x = override(cfg, detect=override(cfg.detect, exact_scores=True))
+    ref = _detect_corpus_loop(corpus, bank, cfg_x, target_phone="aa")
+    mesh = build_mesh(MeshConfig(*mesh_shape))
+    got = detect_corpus_sharded(corpus, bank, cfg_x, mesh, target_phone="aa")
+    r, g = ref.detections, got.detections
+    assert len(g.scores) == len(r.scores)
+    order_r = np.lexsort((r.times, r.utterance_ids))
+    order_g = np.lexsort((g.times, g.utterance_ids))
+    np.testing.assert_array_equal(g.times[order_g], r.times[order_r])
+    np.testing.assert_array_equal(
+        g.template_ids[order_g], r.template_ids[order_r]
+    )
+    np.testing.assert_array_equal(g.scores[order_g], r.scores[order_r])
