@@ -34,7 +34,9 @@ def enable_compile_cache(cache_dir: str | None = None) -> str | None:
         return path
     try:
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # 0.1s: on the tunneled PJRT even trivial eager ops cost
+        # ~0.3s to compile remotely, so cache nearly everything
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     except Exception:
         return None
     _ENABLED = True
