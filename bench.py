@@ -154,12 +154,15 @@ def _measure_tpu(shape, backend="fft"):
 
 
 def _measure_frontend(b, t, fcfg):
-    """Frontend-only audio-s/s: padded waveforms -> binary edge maps
-    (the shared prefix of every flow, SURVEY.md section 3.4).  Slope
-    timing; waveforms generated on device."""
+    """Frontend-only audio-s/s: padded waveforms -> flat binary edge
+    maps (the shared prefix of every flow, SURVEY.md section 3.4).
+    Measures ``frontend_batch_flat`` -- the exact call the streaming
+    scans make (``scan.scan_step``); the classic-layout wrapper's
+    relayout is not part of any hot path.  Slope timing; waveforms
+    generated on device."""
     import jax
     import jax.numpy as jnp
-    from template_speech_recognition_tpu.frontend import frontend_batch
+    from template_speech_recognition_tpu.frontend import frontend_batch_flat
 
     samples = t * fcfg.hop_length + fcfg.frame_length
     from template_speech_recognition_tpu.pipeline import bucket_length
@@ -175,7 +178,7 @@ def _measure_frontend(b, t, fcfg):
     valid = jnp.full((b,), samples, jnp.int32)
 
     def run(wv, vs):
-        fm = frontend_batch(wv, vs, fcfg)
+        fm = frontend_batch_flat(wv, vs, fcfg)
         return jnp.sum(fm.binary.astype(jnp.float32))
 
     dt = _slope_time(run, wavs, valid, reps=(2, 8))

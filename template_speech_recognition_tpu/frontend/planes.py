@@ -116,6 +116,7 @@ def plane_order_statistics(
     planes: jnp.ndarray,          # [B, P, T, F]
     valid_frames: jnp.ndarray,    # [B] int32
     quantile: float,
+    use_pallas: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Exact order statistics of each plane's valid cells at ranks
     k = min(n-1, floor(q*n)) and n-1-k: (os_k, os_{n-1-k}), each
@@ -125,8 +126,11 @@ def plane_order_statistics(
 
     Dual-rank radix bisection (see ``ops.edges.radix_kth_smallest``):
     8 passes; each pass reads the keys once and counts the 2 ranks x
-    16 candidate digit extensions with a fused compare+reduce over the
-    minor axis.
+    16 candidate digit extensions.  ``use_pallas=True`` runs each
+    counting pass as the fused ``ops.radix_pallas`` kernel (one HBM
+    stream of the keys per level; XLA restreams them per candidate
+    group -- measured ~5x slower at the bench shape); both paths
+    select the bit-identical element.
     """
     b, p, t, f = planes.shape
     keys = edges.order_keys(planes.reshape(b, p, t * f))
@@ -143,16 +147,37 @@ def plane_order_statistics(
     k2 = n - 1 - k1
     need = jnp.stack([k1, k2], axis=-1)[:, None, :] + 1         # [B, 1, 2]
     prefix = jnp.zeros((b, p, 2), jnp.uint32)
-    iota16 = jnp.arange(16, dtype=jnp.uint32)
-    for level in range(8):
-        shift = jnp.uint32(28 - 4 * level)
-        hi = keys >> shift                                      # [B, P, N]
-        base = prefix << jnp.uint32(4)                          # [B, P, 2]
-        cand = base[..., None] + iota16                         # [B, P, 2, 16]
-        cnt = jnp.sum(
-            (hi[:, :, None, None, :] <= cand[..., None]).astype(jnp.int32),
-            axis=-1,
-        )                                                       # [B, P, 2, 16]
+    keys_flat = keys.reshape(b * p, t * f) if use_pallas else None
+    # The selected element is identical for ANY digit-width schedule
+    # (each level refines the same bisection); the Pallas path uses
+    # 3-bit digits -- 11 levels x 8 candidates = 168 compares/key vs
+    # 256 for 8x4-bit -- because the fused kernel is compute-bound,
+    # while the XLA path keeps 4-bit digits (fewer, wider fused
+    # reduces suit the compiler better).
+    widths = (2,) + (3,) * 10 if use_pallas else (4,) * 8
+    bits_done = 0
+    for w in widths:
+        bits_done += w
+        shift = 32 - bits_done
+        iota = jnp.arange(1 << w, dtype=jnp.uint32)
+        base = prefix << jnp.uint32(w)                          # [B, P, 2]
+        cand = base[..., None] + iota                           # [B,P,2,2^w]
+        if use_pallas:
+            from template_speech_recognition_tpu.ops.radix_pallas import (
+                radix_level_counts_pallas,
+            )
+
+            cnt = radix_level_counts_pallas(
+                keys_flat, cand.reshape(b * p, 2 << w), shift
+            ).reshape(b, p, 2, 1 << w)
+        else:
+            hi = keys >> jnp.uint32(shift)                      # [B, P, N]
+            cnt = jnp.sum(
+                (hi[:, :, None, None, :] <= cand[..., None]).astype(
+                    jnp.int32
+                ),
+                axis=-1,
+            )                                                   # [B,P,2,2^w]
         digit = jnp.argmax(cnt >= need[..., None], axis=-1).astype(jnp.uint32)
         prefix = base + digit
     os_ = edges.key_to_float(prefix)                            # [B, P, 2]
@@ -166,6 +191,7 @@ def binarize_spread_flat(
     valid_frames: jnp.ndarray,    # [B]
     spread_time: int,
     spread_freq: int,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:                 # [B, T, 2P*F] bool
     """Binarize both polarities of each plane, dilate, emit flat map.
 
@@ -173,21 +199,46 @@ def binarize_spread_flat(
     -plane > -os_lo, i.e. plane < os_lo (exact equivalents).  Rows >=
     valid are forced False before spreading and again after (identical
     to the classic binarize -> spread -> mask_rows sequence).
+
+    ``use_pallas=True`` fuses binarize + freq dilation into one
+    kernel pass over the planes (``ops.binspread_pallas``); time
+    dilation and the final mask stay in XLA (cheap [B, T, D] passes).
     """
     b, p, t, f = planes.shape
     row_valid = (
         jnp.arange(t, dtype=jnp.int32)[None, :, None] < valid_frames[:, None, None]
     )                                                           # [B, T, 1]
+    if use_pallas and t % 128 == 0:
+        from template_speech_recognition_tpu.ops.binspread_pallas import (
+            binarize_freqspread_pallas,
+        )
+
+        flat = binarize_freqspread_pallas(
+            planes, os_hi, os_lo, valid_frames, spread_freq
+        ).astype(jnp.bool_)
+        if spread_time:
+            flat = edges._dilate_axis(flat, spread_time, 1)
+        return flat & row_valid
     chans = []
     for i in range(p):
-        pos = (planes[:, i] > os_hi[:, i, None, None]) & row_valid
-        neg = (planes[:, i] < os_lo[:, i, None, None]) & row_valid
-        if spread_freq:
-            pos = edges._dilate_axis(pos, spread_freq, 2)
-            neg = edges._dilate_axis(neg, spread_freq, 2)
-        chans.append(pos)
-        chans.append(neg)
+        chans.append((planes[:, i] > os_hi[:, i, None, None]) & row_valid)
+        chans.append((planes[:, i] < os_lo[:, i, None, None]) & row_valid)
     flat = jnp.concatenate(chans, axis=-1)                      # [B, T, 2P*F]
+    if spread_freq:
+        # freq dilation directly on the flat map: a +/-s lane shift
+        # crosses channel blocks at f < s (resp. f >= F-s), so those
+        # columns are masked -- 2r masked OR-shift passes over ONE
+        # [B, T, D] array instead of 2r passes over each of the 2P
+        # per-channel maps (the dilation dominated the epilogue)
+        fidx = jnp.arange(flat.shape[-1], dtype=jnp.int32) % f
+        out = flat
+        for s in range(1, spread_freq + 1):
+            out = out | (
+                edges._shifted(flat, s, flat.ndim - 1) & (fidx >= s)
+            ) | (
+                edges._shifted(flat, -s, flat.ndim - 1) & (fidx < f - s)
+            )
+        flat = out
     if spread_time:
         flat = edges._dilate_axis(flat, spread_time, 1)
     return flat & row_valid
@@ -216,9 +267,10 @@ def frontend_batch_flat(
         0,
     ).astype(jnp.int32)
     os_hi, os_lo = plane_order_statistics(
-        planes, valid_frames, cfg.edge_quantile
+        planes, valid_frames, cfg.edge_quantile, use_pallas=use_pallas
     )
     flat = binarize_spread_flat(
-        planes, os_hi, os_lo, valid_frames, cfg.spread_time, cfg.spread_freq
+        planes, os_hi, os_lo, valid_frames, cfg.spread_time,
+        cfg.spread_freq, use_pallas=use_pallas,
     )
     return FlatFeatureMap(flat, valid_frames)

@@ -137,3 +137,57 @@ def test_flat_frontend_matches_wrapper():
     np.testing.assert_array_equal(
         np.asarray(fm_flat.valid_frames), np.asarray(fm.valid_frames)
     )
+
+
+@pytest.mark.parametrize("q", [0.98, 0.5])
+def test_plane_order_statistics_pallas_matches_xla(q):
+    """The fused counting kernel selects the bit-identical element
+    (non-lane-aligned N exercises the kernel's padding)."""
+    rng = np.random.default_rng(3)
+    planes = _planes(rng, 2, 48, 13)
+    vf = jnp.asarray([48, 19], jnp.int32)
+    ref = plane_order_statistics(planes, vf, q)
+    got = plane_order_statistics(planes, vf, q, use_pallas=True)
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_radix_level_counts_kernel():
+    from template_speech_recognition_tpu.ops.radix_pallas import (
+        radix_level_counts_pallas,
+    )
+
+    rng = np.random.default_rng(0)
+    keys = rng.integers(0, 2**32, (5, 300), dtype=np.uint32)
+    cand = rng.integers(0, 2**28, (5, 32), dtype=np.uint32)
+    # the kernel pads N/R with the 0xFFFFFFFF mask key, which counts
+    # exactly as the XLA path counts masked cells -- model it here
+    keys_pad = np.full((5, 8192), 0xFFFFFFFF, np.uint32)
+    keys_pad[:, :300] = keys
+    for shift in (28, 12, 0):
+        got = np.asarray(
+            radix_level_counts_pallas(
+                jnp.asarray(keys), jnp.asarray(cand), shift
+            )
+        )
+        ref = (
+            ((keys_pad[:, None, :] >> np.uint32(shift)) <= cand[:, :, None])
+            .sum(-1)
+            .astype(np.int32)
+        )
+        np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("rt,rf", [(0, 0), (1, 1), (2, 2)])
+def test_binarize_spread_pallas_matches_xla(rt, rf):
+    """Fused binarize+freq-spread kernel == XLA epilogue, bitwise."""
+    rng = np.random.default_rng(5)
+    b, p, t, f = 2, 4, 256, 16
+    planes = jnp.asarray(rng.standard_normal((b, p, t, f)).astype(np.float32))
+    vf = jnp.asarray([256, 100], jnp.int32)
+    os_hi = jnp.asarray(rng.standard_normal((b, p)).astype(np.float32) + 0.5)
+    os_lo = os_hi - 1.5
+    ref = binarize_spread_flat(planes, os_hi, os_lo, vf, rt, rf)
+    got = binarize_spread_flat(planes, os_hi, os_lo, vf, rt, rf,
+                               use_pallas=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
