@@ -65,7 +65,9 @@ def _measure_fft(b, t, k, length, f, e):
 def _measure_frontend_dt(b, t, fcfg):
     import jax
     import jax.numpy as jnp
-    from template_speech_recognition_tpu.frontend import frontend_batch
+    from template_speech_recognition_tpu.frontend.planes import (
+        frontend_batch_flat,
+    )
     from template_speech_recognition_tpu.pipeline import bucket_length
 
     samples = t * fcfg.hop_length + fcfg.frame_length
@@ -80,7 +82,11 @@ def _measure_frontend_dt(b, t, fcfg):
     valid = jnp.full((b,), samples, jnp.int32)
 
     def run(wv, vs):
-        fm = frontend_batch(wv, vs, fcfg)
+        # frontend_batch_flat, not the frontend_batch wrapper: the flat
+        # plane-major map is what every hot path (bench.py e2e, the
+        # streaming scans) consumes; the channels-minor relayout in the
+        # wrapper is off the hot path (advisor round-3, low #3).
+        fm = frontend_batch_flat(wv, vs, fcfg)
         return jnp.sum(fm.binary.astype(jnp.float32))
 
     return _slope_time(run, wavs, valid, reps=(2, 8)), samples

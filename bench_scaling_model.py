@@ -46,7 +46,7 @@ DCN_BYTES_PER_S = float(os.environ.get("SCALE_DCN_BPS", 1.25e10))
 
 
 def _bench_e2e_rate() -> tuple[float, str]:
-    for name in ("BENCH_r03.json", "BENCH_r02.json"):
+    for name in ("BENCH_r04.json", "BENCH_r03.json", "BENCH_r02.json"):
         path = os.path.join(os.path.dirname(__file__), name)
         if os.path.exists(path):
             with open(path) as f:

@@ -14,7 +14,7 @@ mixed-length groups), trains a small bank, then runs
                     throughput number (counters["audio_s_per_s"]).
 
 Asserts resumed detections == clean detections (bitwise), then writes
-``SOAK_r03.json`` with the corpus stats, the kill/resume accounting,
+``SOAK_r04.json`` with the corpus stats, the kill/resume accounting,
 and corpus audio-s/s next to the bench e2e figure for comparison.
 
 Knobs: SOAK_UTTS_PER_GROUP (default 75), SOAK_MESH "d,b,t"
@@ -55,7 +55,7 @@ def build_corpus(utts_per_group: int):
     for i in range(utts_per_group):
         for g in groups:
             utts.append(g.utterances[i])
-    merged = type(base)(utts, base.sample_rate, base.phones)
+    merged = type(base)(utts, base.sample_rate, base.phone_names)
     return SyntheticAdapter(merged)
 
 
@@ -155,10 +155,10 @@ def main() -> None:
     metrics = None
     from template_speech_recognition_tpu.pipeline import evaluate_detections
 
-    metrics = evaluate_detections(clean, cfg)
+    metrics = evaluate_detections(clean, cfg.detect.match_tolerance)
 
     out = {
-        "round": 3,
+        "round": 4,
         "corpus": {
             "utterances": n_utts,
             "audio_seconds": round(audio_s, 1),
@@ -191,7 +191,7 @@ def main() -> None:
             "BENCH e2e_audio_s_per_s"
         ),
     }
-    with open("SOAK_r03.json", "w") as fh:
+    with open("SOAK_r04.json", "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps({"soak_audio_s_per_s": out["clean_run"]["audio_s_per_s"],
                       "audio_min": round(audio_s / 60, 1)}))

@@ -316,9 +316,13 @@ def detect_corpus_sharded(
 
     The bank pads to a multiple of the ``bank`` axis (padded templates
     carry c = -inf and can never win); utterance batches pad to a
-    multiple of the ``data`` axis.  Multi-host note: each host feeds
-    its local batch rows (``jax.process_index`` slicing) -- on this
-    single-process environment the global batch is placed directly.
+    multiple of the ``data`` axis.  Multi-host note: batches enter the
+    mesh through ``parallel.feeding.put_sharded`` -- every process
+    places only its addressable shard rows
+    (``make_array_from_single_device_arrays``), so no host ever
+    transfers the global batch; proven bitwise-equal to the
+    single-process scan by a real two-OS-process ``jax.distributed``
+    run in ``tests/test_multiprocess_feed.py``.
     """
     from template_speech_recognition_tpu.scan import stream_scan
 
