@@ -54,6 +54,23 @@ def _fused_ok(cfg: FrontendConfig) -> bool:
     return cfg.use_mel or (cfg.nfft // 2) % 128 == 0
 
 
+# VMEM budget of the resident select kernel, in per-plane cells (T*F):
+# per (utterance, plane) program 2x input [T, F] f32 block (8 B/cell)
+# + 2x output [T, 2F] u8 block (4) + key scratch (4) + epilogue
+# temporaries (~16) ~= 32 bytes/cell; 32 B * 1.5M ~= 48 MB of the
+# 128 MB VMEM (kernel cap 100 MB).
+_SELBIN_MAX_CELLS = 1_572_864
+
+
+def _selbin_ok(cfg: FrontendConfig, t_pad: int) -> bool:
+    """Shapes the VMEM-resident select+binspread kernel covers: the
+    whole [T, F] plane must sit in VMEM (ops.selbin_pallas)."""
+    f = cfg.feature_freqs
+    return f % 128 == 0 and t_pad % 128 == 0 and (
+        t_pad * f <= _SELBIN_MAX_CELLS
+    )
+
+
 def _windowed_frames(waveforms: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
     """[B, S] -> [B, T, frame_length] preemphasized windowed frames."""
     y = framing.preemphasize(waveforms, cfg.preemphasis)
@@ -244,6 +261,23 @@ def binarize_spread_flat(
     return flat & row_valid
 
 
+def _dual_ranks(
+    valid_frames: jnp.ndarray, f: int, quantile: float
+) -> jnp.ndarray:
+    """[B] valid frames -> [B, 2] (rank+1) for ranks k and n-1-k, the
+    exact arithmetic of ``plane_order_statistics`` (k in f32 on both
+    CPU and TPU to rule out rounding-width divergence)."""
+    n = (valid_frames * f).astype(jnp.int32)
+    k1 = jnp.minimum(
+        n - 1,
+        jnp.floor(
+            jnp.float32(quantile) * n.astype(jnp.float32)
+        ).astype(jnp.int32),
+    )
+    k2 = n - 1 - k1
+    return jnp.stack([k1, k2], axis=-1) + 1
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "use_pallas"))
 def frontend_batch_flat(
     waveforms: jnp.ndarray,       # [B, S] padded
@@ -256,16 +290,53 @@ def frontend_batch_flat(
     The production frontend (the streaming scans consume this
     directly).  Output rows beyond each utterance's valid extent are
     False; the time extent is 128-aligned on the Pallas path.
+
+    Hot path (``use_pallas`` and shapes in the VMEM budget): TWO
+    kernels -- the stacked response-plane kernel and the resident
+    select+binspread kernel (``ops.selbin_pallas``) -- so the response
+    planes cross HBM exactly once (written by the first, read by the
+    second); only the cheap [B, T, D] u8 time dilation and row mask
+    stay in XLA.  Bit-identical to the layered path below it (same
+    floats, same compares; tested in tests/test_selbin_pallas.py).
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
     frames = _windowed_frames(waveforms, cfg)
-    planes = response_planes(frames, cfg, use_pallas)
     valid_frames = jnp.where(
         num_valid_samples >= cfg.frame_length,
         (num_valid_samples - cfg.frame_length) // cfg.hop_length,
         0,
     ).astype(jnp.int32)
+    b, t = frames.shape[0], frames.shape[1]
+    t_pad = ((t + 127) // 128) * 128
+    f = cfg.feature_freqs
+    if use_pallas and _fused_ok(cfg) and _selbin_ok(cfg, t_pad):
+        from template_speech_recognition_tpu.ops.frontend_pallas import (
+            edge_response_planes_stacked_pallas,
+        )
+        from template_speech_recognition_tpu.ops.selbin_pallas import (
+            select_binspread_pallas,
+        )
+
+        fp = (
+            jnp.zeros((b, t_pad, cfg.frame_length), jnp.float32)
+            .at[:, :t].set(frames)
+            .reshape(b * t_pad, cfg.frame_length)
+        )
+        stacked = edge_response_planes_stacked_pallas(
+            fp, cfg.nfft,
+            sample_rate=cfg.sample_rate,
+            n_mels=cfg.n_mels if cfg.use_mel else 0,
+        )                                        # [4, B*T_pad, F]
+        need = _dual_ranks(valid_frames, f, cfg.edge_quantile)
+        flat_u8, _ = select_binspread_pallas(
+            stacked.reshape(4, b, t_pad, f), need, valid_frames,
+            cfg.spread_freq, cfg.spread_time,
+        )
+        # the kernel emits the FINAL map (both dilations + row mask);
+        # only the dtype view remains
+        return FlatFeatureMap(flat_u8.astype(jnp.bool_), valid_frames)
+    planes = response_planes(frames, cfg, use_pallas)
     os_hi, os_lo = plane_order_statistics(
         planes, valid_frames, cfg.edge_quantile, use_pallas=use_pallas
     )

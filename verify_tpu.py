@@ -268,6 +268,120 @@ def check_int32_bit_parity() -> dict:
     }
 
 
+def check_radix_counts() -> dict:
+    """Compiled radix_level_counts_pallas vs the XLA broadcast count
+    (round-3 kernel; exact integer equality)."""
+    import jax.numpy as jnp
+    from template_speech_recognition_tpu.ops.radix_pallas import (
+        radix_level_counts_pallas,
+    )
+
+    rng = np.random.default_rng(7)
+    r, n, nc, shift = 8, 5000, 16, 21
+    keys = jnp.asarray(rng.integers(0, 2**32, (r, n), dtype=np.uint32))
+    cand = jnp.asarray(
+        rng.integers(0, 2 ** (32 - shift), (r, nc), dtype=np.uint32)
+    )
+    got = np.asarray(radix_level_counts_pallas(keys, cand, shift))
+    hi = np.asarray(keys) >> np.uint32(shift)
+    want = (hi[:, None, :] <= np.asarray(cand)[:, :, None]).sum(-1)
+    ok = bool((got == want).all())
+    return {"kernel": "radix_level_counts", "ok": ok,
+            "mismatches": int((got != want).sum())}
+
+
+def check_binspread_kernel() -> dict:
+    """Compiled binarize_freqspread_pallas vs the XLA epilogue
+    (round-3 kernel; bit-identical binary map)."""
+    import jax.numpy as jnp
+    from template_speech_recognition_tpu.frontend import planes as pm
+    from template_speech_recognition_tpu.ops.binspread_pallas import (
+        binarize_freqspread_pallas,
+    )
+
+    rng = np.random.default_rng(8)
+    b, p, t, f = 2, 4, 256, 128
+    planes = jnp.asarray(rng.standard_normal((b, p, t, f)).astype(np.float32))
+    valid = jnp.asarray([t, t // 2], jnp.int32)
+    os_hi, os_lo = pm.plane_order_statistics(planes, valid, 0.9)
+    got = np.asarray(
+        binarize_freqspread_pallas(planes, os_hi, os_lo, valid, 1)
+    ).astype(bool)
+    want = np.asarray(
+        pm.binarize_spread_flat(planes, os_hi, os_lo, valid, 0, 1)
+    )
+    ok = bool((got == want).all())
+    return {"kernel": "binarize_freqspread", "ok": ok,
+            "mismatches": int((got != want).sum())}
+
+
+def check_selbin_fused() -> dict:
+    """Compiled resident select+binspread kernel (ops.selbin_pallas)
+    vs the layered XLA select + binarize (round-4 kernel; the
+    production frontend's hot path; bit-identical)."""
+    import jax.numpy as jnp
+    from template_speech_recognition_tpu.frontend import planes as pm
+    from template_speech_recognition_tpu.ops import edges
+    from template_speech_recognition_tpu.ops.selbin_pallas import (
+        select_binspread_pallas,
+    )
+
+    rng = np.random.default_rng(9)
+    p, b, t, f = 4, 3, 256, 128
+    x = rng.standard_normal((p, b, t, f)).astype(np.float32)
+    x[:, :, : t // 3] = np.round(x[:, :, : t // 3] * 4) / 4  # ties
+    planes = jnp.asarray(x)
+    valid = jnp.asarray([t, t // 2, 9], jnp.int32)
+    need = pm._dual_ranks(valid, f, 0.98)
+    flat, keys = select_binspread_pallas(planes, need, valid, 1)
+    planes_bptf = jnp.transpose(planes, (1, 0, 2, 3))
+    os_hi, os_lo = pm.plane_order_statistics(planes_bptf, valid, 0.98)
+    want = np.asarray(
+        pm.binarize_spread_flat(planes_bptf, os_hi, os_lo, valid, 0, 1)
+    )
+    flat_ok = bool((np.asarray(flat).astype(bool) == want).all())
+    keys_ok = bool(
+        (np.asarray(edges.key_to_float(keys[..., 0])) == np.asarray(os_hi)).all()
+        and (np.asarray(edges.key_to_float(keys[..., 1])) == np.asarray(os_lo)).all()
+    )
+    return {"kernel": "selbin_fused", "ok": flat_ok and keys_ok,
+            "flat_bitwise": flat_ok, "keys_bitwise": keys_ok}
+
+
+def check_frontend_flat_oracle() -> dict:
+    """Production plane-major frontend (stacked response kernel +
+    resident selbin kernel, both compiled) vs the NumPy oracle flat
+    map (round-4; agreement gate mirrors check_frontend_fused -- the
+    fused DFT is allclose-class, so threshold-adjacent cells may
+    flip)."""
+    import jax.numpy as jnp
+    from oracle.frontend import FrontendParams, frontend as oracle_frontend
+    from template_speech_recognition_tpu.config import FrontendConfig
+    from template_speech_recognition_tpu.frontend.planes import (
+        frontend_batch_flat,
+    )
+    from template_speech_recognition_tpu.ops.layout import channels_to_flat
+
+    rng = np.random.default_rng(0)
+    t = np.arange(16384) / 16000.0
+    wav = (
+        np.sin(2 * np.pi * 700 * t)
+        + 0.5 * np.sin(2 * np.pi * 2300 * t)
+        + 0.1 * rng.standard_normal(t.size)
+    ).astype(np.float32)
+    cfg = FrontendConfig()
+    nv = 15000
+    fm = frontend_batch_flat(
+        jnp.asarray(wav)[None, :], jnp.asarray([nv], jnp.int32), cfg
+    )
+    want_ch = oracle_frontend(wav[:nv], FrontendParams())
+    want = np.asarray(channels_to_flat(jnp.asarray(want_ch)))
+    got = np.asarray(fm.binary[0])[: want.shape[0]]
+    agree = float((got == want).mean())
+    return {"kernel": "frontend_flat_fused", "ok": bool(agree > 0.999),
+            "binary_agreement": agree}
+
+
 CHECKS = [
     check_frontend_fused,
     check_frontend_mel_fused,
@@ -277,6 +391,10 @@ CHECKS = [
     check_fft_fused_4d,
     check_fft_binmm_3d,
     check_int32_bit_parity,
+    check_radix_counts,
+    check_binspread_kernel,
+    check_selbin_fused,
+    check_frontend_flat_oracle,
 ]
 
 
