@@ -1,0 +1,153 @@
+"""Config-5 bank scale on ONE chip: K = 10,000 templates
+(BASELINE.json:11; round-3 verdict, next item 3).
+
+Every prior on-chip number used K=1024, and ``pick_nfft``'s swept
+basin was validated only there.  This harness proves the spec-scale
+bank single-chip:
+
+* builds a K=10,000 FFT bank (spectra [bins, 2D, K] bf16 -- ~6.5 GB
+  at the default pick: the stream the bin-matmul kernel reads once
+  per call) and scores the standard bench batch through the full
+  production path (``detect.fft_scorer.fft_sliding_scores``,
+  time-major, fused kernels);
+* re-sweeps nfft at K=10k: the K=1024 basin (nfft=159) was picked
+  when the spectra stream was small; at 10k the compute/stream
+  balance shifts, so the sweep re-validates (or re-picks) the basin;
+* writes BANK10K_r04.json with per-nfft audio-s/s, the winner, and
+  the default pick's number.
+
+K=10,000 is not a 128-lane multiple; the bank pads templates to
+K_pad=10112 with c=-inf slots exactly as the sharded scan does --
+padded slots can never win a detection.
+
+Run: timeout 1800 python bench_bank10k.py   (real chip)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+from bench import _enable_compile_cache, _slope_time
+
+
+def main() -> None:
+    _enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from template_speech_recognition_tpu.detect import fft_scorer
+
+    b = int(os.environ.get("BANK10K_B", 8))
+    t = int(os.environ.get("BANK10K_T", 3000))
+    k = int(os.environ.get("BANK10K_K", 10000))
+    length = int(os.environ.get("BANK10K_L", 32))
+    d = 2048
+    hop_seconds = 0.010
+    audio_s = b * t * hop_seconds
+    k_pad = -(-k // 128) * 128
+
+    rows = {}
+    default_nfft = fft_scorer.pick_nfft(length)
+    sweep = sorted(
+        {default_nfft, 223, 287, 351, 415}
+    )
+    best = None
+    for nfft in sweep:
+        hop = nfft - length + 1
+        if hop % 16:
+            continue
+        bins = nfft // 2 + 1
+        gbytes = bins * 2 * d * k_pad * 2 / 1e9
+
+        @jax.jit
+        def make(nfft=nfft, bins=bins):
+            kk = jax.random.PRNGKey(nfft)
+            w2 = (
+                jax.random.normal(kk, (bins, 2 * d, k_pad), jnp.bfloat16)
+                * 0.01
+            )
+            c = jnp.where(
+                jnp.arange(k_pad) < k,
+                jax.random.normal(jax.random.PRNGKey(1), (k_pad,)),
+                -jnp.inf,
+            ).astype(jnp.float32)
+            feats = (
+                jax.random.uniform(jax.random.PRNGKey(2), (b, t, d)) < 0.15
+            )
+            return w2, c, feats
+
+        t0 = time.perf_counter()
+        w2, c, feats = make()
+        jax.block_until_ready((w2, c, feats))
+        print(
+            f"[bank10k] nfft={nfft} spectra {gbytes:.2f} GB "
+            f"(make {time.perf_counter()-t0:.1f}s)",
+            file=sys.stderr,
+        )
+        bank = fft_scorer.FFTBank(
+            w2=w2, c=c, length=length, nfft=nfft, d=d
+        )
+
+        def run(fb, w2_, c_, bank=bank):
+            bk = fft_scorer.FFTBank(
+                w2=w2_, c=c_, length=bank.length, nfft=bank.nfft,
+                d=bank.d,
+            )
+            s = fft_scorer.fft_sliding_scores(
+                fb, bk, time_major=True, trim=False
+            )
+            return jnp.sum(s.astype(jnp.float32))
+
+        try:
+            dt = _slope_time(run, feats, w2, c, reps=(2, 8), iters=4)
+        except Exception as exc:
+            rows[nfft] = {"error": repr(exc)[:300]}
+            continue
+        rate = audio_s / dt
+        rows[nfft] = {
+            "step_ms": round(dt * 1e3, 2),
+            "audio_s_per_s": round(rate, 1),
+            "spectra_gb": round(gbytes, 2),
+            "hop": hop,
+            "bins": bins,
+        }
+        print(f"[bank10k] nfft={nfft}: {rate:.0f} audio-s/s", file=sys.stderr)
+        if best is None or rate > rows[best]["audio_s_per_s"]:
+            best = nfft
+
+    out = {
+        "round": 4,
+        "bank_k": k,
+        "bank_k_padded": k_pad,
+        "template_len": length,
+        "batch_utts": b,
+        "frames_per_utt": t,
+        "audio_seconds_per_call": audio_s,
+        "per_nfft": rows,
+        "default_pick_nfft": default_nfft,
+        "best_nfft": best,
+        "note": (
+            "K=10,000 bank (config-5 scale, BASELINE.json:11) scored "
+            "single-chip through the production fft path; spectra "
+            "stream per call = spectra_gb.  pick_nfft re-swept at this "
+            "K (the K=1024 sweep chose nfft=159)."
+        ),
+    }
+    with open("BANK10K_r04.json", "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps({
+        "bank10k_best_nfft": best,
+        "bank10k_audio_s_per_s": rows[best]["audio_s_per_s"] if best else None,
+    }))
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
+
+
+if __name__ == "__main__":
+    main()

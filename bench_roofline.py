@@ -12,7 +12,7 @@ Kernel classes covered:
   frontend     fused waveform -> binary edge map (plane-major path)
   dtw          band-compressed wavefront DTW (ops.dtw_pallas)
 
-Writes ``ROOFLINE_r03.json``: one row per kernel with {measured_s,
+Writes ``ROOFLINE_r04.json``: one row per kernel with {measured_s,
 compute_s, memory_s, roofline_s, bound, roofline_frac} plus the
 workload shape, and an ``explanations`` entry for any kernel below
 ~50% of its binding roofline.
@@ -167,13 +167,16 @@ def main() -> None:
 
     # -- frontend (fused waveform -> binary edges) --------------------
     dt_fe, samples = _measure_frontend_dt(b, t, fcfg)
-    cost = CostModel.frontend(
-        b, samples, fcfg.frame_length, fcfg.hop_length, fcfg.nfft
+    fr = CostModel.frontend_fused_roofline(
+        b, samples, fcfg.frame_length, fcfg.hop_length, fcfg.nfft,
+        spread_time=fcfg.spread_time, spread_freq=fcfg.spread_freq,
     )
     rows["frontend"] = {
         "shape": {"B": b, "samples": samples, "nfft": fcfg.nfft},
         "audio_s_per_s": round(b * samples / fcfg.sample_rate / dt_fe, 1),
-        **roofline_report(cost, dt_fe),
+        **fr,
+        "roofline_frac": fr["roofline_s"] / dt_fe,
+        "measured_s": dt_fe,
     }
 
     # -- dtw wavefront kernel -----------------------------------------
@@ -195,10 +198,12 @@ def main() -> None:
             "cut MXU work ~14x vs the direct conv (docs/PERFORMANCE.md)"
         ),
         "frontend": (
-            "memory-bound stream over [T,F,8] response planes; the "
-            "quantile (radix-select, 8 passes over resp), binarize and "
-            "spread re-read the response tensor, so measured traffic "
-            "is a small multiple of the compulsory single-pass bytes"
+            "three-resource roofline (CostModel.frontend_fused_"
+            "roofline): the VMEM-resident select kernel removed every "
+            "HBM re-read (planes round-trip once, the compulsory "
+            "minimum), so the binding resource is now the VPU compute "
+            "of the exact dual-rank 32-level bisection itself plus "
+            "the exact-f32 DFT GEMM -- not HBM traffic"
         ),
         "dtw": (
             "HBM-stream-bound on the skewed band tensor; sequential "
@@ -207,7 +212,7 @@ def main() -> None:
         ),
     }
     out = {
-        "round": 3,
+        "round": 4,
         "device": str(jax.devices()[0]),
         "timing": "slope method (see bench.py docstring)",
         "note": (
@@ -222,7 +227,7 @@ def main() -> None:
             if row["roofline_frac"] < 0.5
         },
     }
-    with open("ROOFLINE_r03.json", "w") as fh:
+    with open("ROOFLINE_r04.json", "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps({k2: round(v["roofline_frac"], 3)
                       for k2, v in rows.items()}))

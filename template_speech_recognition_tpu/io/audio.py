@@ -120,6 +120,28 @@ def write_sphere(path: str, waveform: np.ndarray, sample_rate: int) -> None:
         f.write(pcm.tobytes())
 
 
+def read_audio_info(path: str) -> tuple[int, int]:
+    """(num_samples, sample_rate) from the container header alone --
+    no sample decode.  The per-process input pipeline uses this to
+    bucket and batch the whole corpus while decoding only the rows
+    its own data shard feeds (SURVEY.md section 2c DP row)."""
+    with open(path, "rb") as f:
+        head = f.read(_SPHERE_HEADER_BYTES)
+    if head.startswith(_SPHERE_MAGIC):
+        fields = _parse_sphere_header(head)
+        nbytes = int(fields.get("sample_n_bytes", 2))
+        count = int(fields.get("sample_count", 0))
+        if count == 0:
+            import os as _os
+
+            count = (
+                _os.path.getsize(path) - _SPHERE_HEADER_BYTES
+            ) // max(nbytes, 1)
+        return count, int(fields.get("sample_rate", 16000))
+    with wave.open(path, "rb") as f:
+        return f.getnframes(), f.getframerate()
+
+
 def read_audio(path: str) -> tuple[np.ndarray, int]:
     """Sniff magic bytes and dispatch to the right reader."""
     with open(path, "rb") as f:

@@ -103,6 +103,12 @@ class TimitCorpus:
     def load_waveform(self, rec: UtteranceRecord) -> tuple[np.ndarray, int]:
         return read_audio(rec.wav_path)
 
+    def load_info(self, rec: UtteranceRecord) -> tuple[int, int]:
+        """(num_samples, sample_rate) from the audio header only."""
+        from template_speech_recognition_tpu.io.audio import read_audio_info
+
+        return read_audio_info(rec.wav_path)
+
     def load_phones(self, rec: UtteranceRecord) -> list[PhoneSpan]:
         return parse_phn(rec.phn_path)
 

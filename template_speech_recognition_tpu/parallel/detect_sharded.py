@@ -69,6 +69,7 @@ def _round_up(n: int, q: int) -> int:
     static_argnames=(
         "mesh", "fcfg", "backend", "length", "nfft", "d",
         "nms_radius", "top_k", "dtw", "m_seg", "band", "quant_scale",
+        "pcfg",
     ),
 )
 def sharded_scan_step(
@@ -79,6 +80,7 @@ def sharded_scan_step(
     c: jnp.ndarray,               # [K_pad] f32 (exact: int32) bank-sharded
     w_rows,                       # dtw: [K_pad, L, D] bank-sharded | dummy
     c_rows,                       # dtw: [K_pad, L] bank-sharded | dummy
+    parts=None,                   # parts dict [J, pt, pf, E] | None
     *,
     mesh: Mesh,
     fcfg,
@@ -92,6 +94,7 @@ def sharded_scan_step(
     m_seg: int = 1,
     band: int = 0,
     quant_scale: int = 256,
+    pcfg=None,
 ):
     """One sharded batch step: padded waveforms -> per-utterance global
     top-K detections.  Returns (s, t, k) [B, top_k], data-sharded and
@@ -107,11 +110,39 @@ def sharded_scan_step(
     by pmax/psum of the owner's values."""
     halo_len = max(length - 1, (m_seg - 1) if dtw else 0)
     fm = frontend_batch_flat.__wrapped__(wavs, valid_samples, cfg=fcfg)
-    b, tdim = fm.binary.shape[0], fm.binary.shape[1]
+    binary = fm.binary
+    if parts is not None:
+        # config L5 under the mesh: re-code edge maps as part-indicator
+        # maps BEFORE the time split (coding is a patch correlation --
+        # a pure per-utterance op), so halo/score/NMS below run
+        # unchanged over the parts feature dimension (d = F'' * J
+        # arrives from the bank's filters)
+        from template_speech_recognition_tpu.models.parts import (
+            code_parts_batch,
+        )
+        from template_speech_recognition_tpu.ops.layout import (
+            flat_to_channels,
+        )
+
+        fmap = flat_to_channels(
+            binary, fcfg.feature_freqs
+        ).astype(jnp.float32)                     # [B, T, F', E]
+        coded = code_parts_batch(
+            fmap, parts, pcfg.loglik_threshold,
+            pcfg.stride_time, pcfg.stride_freq,
+        )                                          # [B, Tc, Fc, J]
+        # channel-major flatten (d = j*Fc + fc), matching the
+        # filters_to_flat layout of the bank filters below
+        from template_speech_recognition_tpu.ops.layout import (
+            channels_to_flat,
+        )
+
+        binary = channels_to_flat(coded)
+    b, tdim = binary.shape[0], binary.shape[1]
     n_time = mesh.shape["time"]
     t_pad = _round_up(tdim, n_time)
     feats = jnp.zeros((b, t_pad, d), jnp.float32)
-    feats = feats.at[:, :tdim].set(fm.binary.astype(jnp.float32))
+    feats = feats.at[:, :tdim].set(binary.astype(jnp.float32))
     if t_pad // n_time < nms_radius:
         raise ValueError(
             f"time shard length {t_pad // n_time} < nms_radius "
@@ -293,6 +324,12 @@ def sharded_scan_step(
         (valid_samples - fcfg.frame_length) // fcfg.hop_length,
         0,
     ).astype(jnp.int32)
+    if parts is not None:
+        # valid extent in the parts-coded time domain, exactly the
+        # single-chip arithmetic (pipeline.detect_corpus)
+        vf = jnp.maximum(
+            (vf - pcfg.patch_time) // pcfg.stride_time + 1, 0
+        ).astype(jnp.int32)
     dummy3 = jnp.zeros((1, 1, 1), jnp.float32)
     dummy2 = jnp.zeros((1, 1), jnp.float32)
     if not dtw:
@@ -330,11 +367,9 @@ def detect_corpus_sharded(
     backend = "exact" if dcfg.exact_scores else dcfg.score_backend
     if backend not in ("fft", "conv", "exact"):
         raise ValueError(f"sharded scan supports fft|conv|exact, got {backend!r}")
-    if bank.parts is not None:
-        raise ValueError(
-            "sharded streaming scan covers the dense feature paths; "
-            "use pipeline.detect_corpus for parts-coded maps"
-        )
+    # parts-coded banks run through the same sharded step: the step
+    # re-codes each batch's edge maps before the time split (L5 at
+    # config-5 scale; round-3 verdict, next item 7)
     n_data = mesh.shape["data"]
     n_bank = mesh.shape["bank"]
     if backend == "exact":
@@ -415,18 +450,26 @@ def detect_corpus_sharded(
     batch = _round_up(max(dcfg.batch_size, n_data), n_data)
     data_sh = NamedSharding(mesh, P("data"))
     wav_sh = NamedSharding(mesh, P("data", None))
+    parts_dev = (
+        put_sharded(
+            np.asarray(bank.parts, np.float32), NamedSharding(mesh, P())
+        )
+        if bank.parts is not None
+        else None
+    )
 
     def compute(wavs_np, vs_np):
         # per-host feeding: each process places only its own rows
         wavs = put_sharded(wavs_np, wav_sh)
         vs = put_sharded(vs_np.astype(np.int32), data_sh)
         return sharded_scan_step(
-            wavs, vs, w2, w, c, w_rows, c_rows,
+            wavs, vs, w2, w, c, w_rows, c_rows, parts_dev,
             mesh=mesh, fcfg=fcfg, backend=backend, length=length,
             nfft=nfft, d=d, nms_radius=dcfg.nms_radius,
             top_k=dcfg.effective_top_k(wavs_np.shape[1], fcfg.sample_rate),
             dtw=dcfg.dtw_rescore, m_seg=m_seg, band=cfg.dtw.band,
             quant_scale=dcfg.quant_scale,
+            pcfg=cfg.parts if bank.parts is not None else None,
         )
 
     n_time = mesh.shape["time"]
@@ -454,10 +497,25 @@ def detect_corpus_sharded(
                 by += batch * mesh.shape["bank"] * kk * 8  # dtw rescore gather
         return {"collective_bytes": by}
 
+    # Batch rows this process's devices consume: rows outside stay
+    # zero on this host and are never transferred (put_sharded places
+    # addressable blocks only), so stream_scan's lazy path can skip
+    # decoding them -- per-host input IO ~ 1/P of the corpus
+    # (SURVEY.md section 2c DP row "per-host input pipeline feeds its
+    # shard").  Single-process: every row is addressable -> full set.
+    local_rows: set[int] = set()
+    for idx in wav_sh.addressable_devices_indices_map((batch, 1)).values():
+        r = idx[0]
+        local_rows.update(range(
+            0 if r.start is None else r.start,
+            batch if r.stop is None else r.stop,
+        ))
+
     return stream_scan(
         corpus, fcfg, batch, compute, bank.num_templates,
         target_phone=target_phone, manifest=manifest,
         stage_name="detect_corpus_sharded",
         batch_counter_fn=coll_bytes,
         fetch=fetch_global,
+        local_rows=local_rows,
     )

@@ -71,6 +71,16 @@ class SyntheticAdapter:
         for utt in self.corpus.utterances:
             yield utt.utt_id, utt.waveform, list(utt.phones)
 
+    def iter_utterance_infos(self):
+        """(uid, num_samples, phones) -- metadata only, no waveform
+        payload; pairs with ``get_waveform`` for per-process feeding
+        (scan.stream_scan lazy path)."""
+        for utt in self.corpus.utterances:
+            yield utt.utt_id, len(utt.waveform), list(utt.phones)
+
+    def get_waveform(self, gidx: int):
+        return self.corpus.utterances[gidx].waveform
+
     def exemplar_clips(self, phone):
         return self.corpus.exemplar_clips(phone)
 
@@ -84,9 +94,14 @@ class TimitAdapter:
     split: str | None = None
     sample_rate: int = 16000
 
+    def _records(self):
+        return (
+            self.corpus.split(self.split) if self.split
+            else self.corpus.records
+        )
+
     def iter_utterances(self):
-        recs = self.corpus.split(self.split) if self.split else self.corpus.records
-        for rec in recs:
+        for rec in self._records():
             wav, sr = self.corpus.load_waveform(rec)
             self.sample_rate = sr
             phones = [
@@ -94,6 +109,23 @@ class TimitAdapter:
                 for s in self.corpus.load_phones(rec)
             ]
             yield rec.utt_id, wav, phones
+
+    def iter_utterance_infos(self):
+        """Metadata-only iteration: audio container headers + .phn
+        text, NO sample decode -- the O(corpus) host decode then
+        happens only for the rows each process's data shard owns."""
+        for rec in self._records():
+            ns, sr = self.corpus.load_info(rec)
+            self.sample_rate = sr
+            phones = [
+                (s.phone, s.start_sample, s.end_sample)
+                for s in self.corpus.load_phones(rec)
+            ]
+            yield rec.utt_id, ns, phones
+
+    def get_waveform(self, gidx: int):
+        wav, _sr = self.corpus.load_waveform(self._records()[gidx])
+        return wav
 
     def exemplar_clips(self, phone):
         return self.corpus.exemplar_clips(phone, self.split)

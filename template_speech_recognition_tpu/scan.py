@@ -227,6 +227,7 @@ def stream_scan(
     stage_name: str = "stream_scan",
     batch_counter_fn=None,
     fetch=np.asarray,
+    local_rows=None,
 ):
     """The streaming driver shared by the single-chip and mesh-sharded
     scans: bucket -> batch -> ``compute(wavs [B, S], valid [B]) ->
@@ -238,6 +239,19 @@ def stream_scan(
     ``fetch``: device->host conversion for the result triples; the
     multi-process sharded scan passes ``feeding.fetch_global`` (a
     data-sharded triple is not host-addressable in one process).
+
+    ``local_rows``: optional set of batch-row indices this process's
+    addressable devices actually consume (the sharded scan derives it
+    from the wav sharding's addressable-device index map).  When the
+    corpus supports metadata-only iteration
+    (``iter_utterance_infos``/``get_waveform``), bucketing and
+    batching then run on header metadata alone and each process
+    DECODES only its own rows -- per-host input IO drops to ~1/P of
+    the corpus while the global batch composition (and therefore
+    every result) stays deterministic and process-identical.  Rows
+    this process does not own stay zero; ``feeding.put_sharded``
+    never reads them.  ``None`` (or an unsupporting corpus) keeps the
+    decode-everything path.
     """
     from template_speech_recognition_tpu.pipeline import (
         CorpusDetections,
@@ -247,6 +261,11 @@ def stream_scan(
     from template_speech_recognition_tpu.utils.metrics import StageCounters
 
     stats = StageCounters()
+    lazy = (
+        local_rows is not None
+        and hasattr(corpus, "iter_utterance_infos")
+        and hasattr(corpus, "get_waveform")
+    )
     done_shards = manifest.completed() if manifest is not None else set()
     results: dict[int, tuple] = {}      # gidx -> (s, t, k) rows
     labels: list[np.ndarray] = []
@@ -259,7 +278,7 @@ def stream_scan(
 
     def flush(sid, items, pad):
         gidxs = [g for g, _w in items]
-        lens = [len(wv) for _g, wv in items]
+        lens = [(p if lazy else len(p)) for _g, p in items]
         if sid in done_shards:
             z = manifest.load_shard(sid)
             if list(z["gidx"]) != gidxs or list(z["ns"]) != lens:
@@ -272,9 +291,13 @@ def stream_scan(
             return (sid, gidxs, (z["s"], z["t"], z["k"]), True)
         wavs = np.zeros((batch_size, pad), np.float32)
         vs = np.zeros((batch_size,), np.int32)
-        for row, (_g, wav) in enumerate(items):
-            wavs[row, : len(wav)] = wav
-            vs[row] = len(wav)
+        for row, (g, payload) in enumerate(items):
+            n = payload if lazy else len(payload)
+            vs[row] = n
+            if not lazy:
+                wavs[row, :n] = payload
+            elif row in local_rows:
+                wavs[row, :n] = corpus.get_waveform(g)
         out = compute(wavs, vs)
         if batch_counter_fn is not None:
             for name, val in batch_counter_fn(pad).items():
@@ -296,8 +319,12 @@ def stream_scan(
         for row, g in enumerate(gidxs):
             results[g] = (s[row], t[row], k[row])
 
-    for gidx, (uid, wav, phones) in enumerate(corpus.iter_utterances()):
-        total_samples += len(wav)
+    source = (
+        corpus.iter_utterance_infos() if lazy else corpus.iter_utterances()
+    )
+    for gidx, (uid, payload, phones) in enumerate(source):
+        nf = payload if lazy else len(payload)
+        total_samples += nf
         utt_ids.append(uid)
         if target_phone is not None:
             labels.append(np.asarray(
@@ -307,13 +334,12 @@ def stream_scan(
             ))
         else:
             labels.append(np.zeros(0, np.int64))
-        nf = len(wav)
         stats.add("frames", float(
             (nf - fcfg.frame_length) // fcfg.hop_length
             if nf >= fcfg.frame_length else 0
         ))
         pad = bucket_length(nf)
-        pending.setdefault(pad, []).append((gidx, wav))
+        pending.setdefault(pad, []).append((gidx, payload))
         if len(pending[pad]) == batch_size:
             flight = flush(shard_id, pending.pop(pad), pad)
             shard_id += 1

@@ -25,6 +25,10 @@ import jax
 # One v5e-class chip (defaults; override per call for other parts).
 PEAK_BF16_FLOPS = 197e12     # MXU, bf16 multiply-accumulate
 PEAK_F32_FLOPS = 49e12       # MXU f32 (HIGHEST precision passes)
+# exact-f32 emulation (Precision.HIGHEST) runs ~6 bf16 MXU passes
+PEAK_F32_HIGHEST_FLOPS = PEAK_BF16_FLOPS / 6.0
+# VPU: 8 sublanes x 128 lanes x ~4 issue slots x ~0.94 GHz (v5e-class)
+PEAK_VPU_OPS = 3.9e12
 HBM_BYTES_PER_S = 819e9
 
 
@@ -101,6 +105,69 @@ class CostModel:
         f_out = (n_mels - 1) if n_mels else nfft // 2
         bytes_ = b * (samples * 4 + t * f_out * 8 * 4)
         return OpCost(flops, bytes_)
+
+    @staticmethod
+    def frontend_fused_roofline(
+        b, samples, frame_length, hop_length, nfft, n_mels=0,
+        spread_time=1, spread_freq=1,
+    ) -> dict:
+        """Three-resource roofline of the production two-kernel
+        plane-major frontend (stacked response kernel + resident
+        select+binspread kernel, frontend.planes hot path).
+
+        The binding resources are heterogeneous, so a single
+        (flops, bytes) OpCost under one peak misrepresents it:
+
+        * MXU: the DFT GEMM at exact-f32 (HIGHEST ~ 6 bf16 passes);
+        * VPU: the dual-rank order-statistic bisection -- an EXACT
+          f32 select costs 32 levels x 2 ranks x (compare +
+          accumulate) per response cell (the information-theoretic
+          shape of rank selection by counting; no digit schedule does
+          better, planes.py), plus key build, binarize, and the
+          dilation shifts;
+        * HBM: wav in, response planes written ONCE and read ONCE
+          (the selection threshold depends on every response, so the
+          planes must round-trip HBM or be recomputed -- one
+          round-trip is the compulsory minimum), flat map out.
+
+        Returns the per-resource seconds, the binding bound, and its
+        name; ``roofline_frac`` for the frontend row is
+        bound_s / measured_s.
+        """
+        t = max(1 + (samples - frame_length) // hop_length, 0)
+        fl_pad = -(-frame_length // 128) * 128
+        f_out = (n_mels - 1) if n_mels else nfft // 2
+        # DFT GEMM column count: non-mel covers exactly f_out lanes
+        # (the Nyquist column rides a VPU dot); mel needs all bins
+        gemm_cols = (nfft // 2 + 1) if n_mels else f_out
+        cells = 4.0 * b * t * f_out          # response-plane cells
+        mxu = 2.0 * b * t * fl_pad * 2 * gemm_cols
+        if n_mels:
+            mxu += 2.0 * b * t * (nfft // 2 + 1) * n_mels
+        # per cell: key build ~4; select 32 levels x 2 ranks x 2 ops;
+        # binarize ~4; dilation 3 ops per shift step on both output
+        # channels
+        vpu = cells * (
+            4 + 32 * 2 * 2 + 4 + 3.0 * 2 * (spread_time + spread_freq)
+        )
+        hbm = b * (
+            samples * 4.0              # waveform in
+            + t * frame_length * 8.0   # frames write + read (XLA stage)
+            + 4 * t * f_out * 8.0      # planes write + read (once each)
+            + t * f_out * 8.0          # flat u8 map out
+        )
+        t_mxu = mxu / PEAK_F32_HIGHEST_FLOPS
+        t_vpu = vpu / PEAK_VPU_OPS
+        t_hbm = hbm / HBM_BYTES_PER_S
+        bound = max(t_mxu, t_vpu, t_hbm)
+        name = {t_mxu: "mxu", t_vpu: "vpu", t_hbm: "memory"}[bound]
+        return {
+            "mxu_s": t_mxu,
+            "vpu_s": t_vpu,
+            "memory_s": t_hbm,
+            "bound": name,
+            "roofline_s": bound,
+        }
 
     @staticmethod
     def dtw(n_pairs, length, m, band, lanes=None) -> OpCost:

@@ -188,3 +188,40 @@ def test_sharded_exact_scores_bitwise(setup, mesh_shape):
         g.template_ids[order_g], r.template_ids[order_r]
     )
     np.testing.assert_array_equal(g.scores[order_g], r.scores[order_r])
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 2, 1), (1, 2, 2), (4, 1, 2)])
+def test_sharded_parts_bank_matches_reference(setup, mesh_shape):
+    """L5 under the mesh (round-3 verdict, next item 7): a parts-coded
+    bank runs through detect_corpus_sharded -- the step re-codes each
+    batch before the time split -- and matches the single-chip
+    pipeline.detect_corpus parts path."""
+    from template_speech_recognition_tpu.config import (
+        DetectConfig,
+        PartsConfig,
+    )
+
+    corpus, _cfg, _bank, _ref = setup
+    cfg = PipelineConfig(
+        detect=DetectConfig(score_backend="conv"),
+        parts=PartsConfig(
+            enabled=True, num_parts=4, patch_time=3, patch_freq=3,
+            num_patches=200, em_iters=5,
+        ),
+    )
+    bank = train_bank(corpus, ["aa"], cfg)
+    assert bank.parts is not None
+    ref = detect_corpus(corpus, bank, cfg, target_phone="aa")
+    mesh = build_mesh(MeshConfig(*mesh_shape))
+    got = detect_corpus_sharded(corpus, bank, cfg, mesh, target_phone="aa")
+    r, g = ref.detections, got.detections
+    assert len(g.scores) == len(r.scores)
+    order_r = np.lexsort((r.times, r.utterance_ids))
+    order_g = np.lexsort((g.times, g.utterance_ids))
+    np.testing.assert_array_equal(g.times[order_g], r.times[order_r])
+    np.testing.assert_array_equal(
+        g.template_ids[order_g], r.template_ids[order_r]
+    )
+    np.testing.assert_allclose(
+        g.scores[order_g], r.scores[order_r], rtol=1e-4, atol=1e-3
+    )

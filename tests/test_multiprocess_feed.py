@@ -57,8 +57,33 @@ from template_speech_recognition_tpu.parallel.detect_sharded import (
     detect_corpus_sharded,
 )
 
-corpus = SyntheticAdapter(O.make_synthetic_corpus(
+base = SyntheticAdapter(O.make_synthetic_corpus(
     num_utterances=4, phones_per_utterance=4, seed=5))
+
+
+class CountingAdapter:
+    # counts waveform decodes: with per-process lazy feeding each
+    # process must fetch only the rows its data shard owns
+    def __init__(self, inner):
+        self.inner = inner
+        self.decodes = 0
+
+    @property
+    def sample_rate(self):
+        return self.inner.sample_rate
+
+    def iter_utterances(self):
+        return self.inner.iter_utterances()
+
+    def iter_utterance_infos(self):
+        return self.inner.iter_utterance_infos()
+
+    def get_waveform(self, gidx):
+        self.decodes += 1
+        return self.inner.get_waveform(gidx)
+
+
+corpus = CountingAdapter(base)
 bank = TemplateBank.load(sys.argv[1])
 cfg = PipelineConfig(
     detect=DetectConfig(batch_size=4),
@@ -67,6 +92,11 @@ cfg = PipelineConfig(
 mesh = build_mesh(cfg.mesh)
 res = detect_corpus_sharded(corpus, bank, cfg, mesh, target_phone="aa")
 d = res.detections
+# per-process input IO: strictly fewer decodes than the corpus, and
+# every decode is a row this process owns (4 utts, 2 data shards)
+assert corpus.decodes < 4, corpus.decodes
+with open(sys.argv[3] + str(jax.process_index()), "w") as fh:
+    fh.write(str(corpus.decodes))
 if jax.process_index() == 0:
     np.savez(sys.argv[2], s=d.scores, t=d.times, k=d.template_ids,
              u=d.utterance_ids)
@@ -108,6 +138,7 @@ def test_two_process_scan_matches_single_process(tmp_path):
 
     port = _free_port()
     out_path = str(tmp_path / "dets.npz")
+    count_path = str(tmp_path / "decodes")
     worker = _WORKER.format(repo=REPO)
     procs = []
     for pid in range(2):
@@ -125,7 +156,8 @@ def test_two_process_scan_matches_single_process(tmp_path):
         )
         procs.append(
             subprocess.Popen(
-                [sys.executable, "-c", worker, bank_path, out_path],
+                [sys.executable, "-c", worker, bank_path, out_path,
+                 count_path],
                 env=env,
                 stdout=subprocess.PIPE,
                 stderr=subprocess.STDOUT,
@@ -148,3 +180,10 @@ def test_two_process_scan_matches_single_process(tmp_path):
     np.testing.assert_array_equal(z["k"], ref.template_ids)
     np.testing.assert_array_equal(z["u"], ref.utterance_ids)
     np.testing.assert_array_equal(z["s"], ref.scores)
+    # each utterance decoded by exactly one process: total decodes ==
+    # corpus size, and no process decoded everything (work is split)
+    decodes = [
+        int(open(count_path + str(pid)).read()) for pid in range(2)
+    ]
+    assert sum(decodes) == 4, decodes
+    assert max(decodes) < 4, decodes
