@@ -35,6 +35,29 @@ import numpy as np
 from bench import _enable_compile_cache, _slope_time
 
 
+def _write(rows, default_nfft, best, k, k_pad, length, b, t, audio_s):
+    out = {
+        "round": 4,
+        "bank_k": k,
+        "bank_k_padded": k_pad,
+        "template_len": length,
+        "batch_utts": b,
+        "frames_per_utt": t,
+        "audio_seconds_per_call": audio_s,
+        "per_nfft": rows,
+        "default_pick_nfft": default_nfft,
+        "best_nfft": best,
+        "note": (
+            "K=10,000 bank (config-5 scale, BASELINE.json:11) scored "
+            "single-chip through the production fft path; spectra "
+            "stream per call = spectra_gb.  pick_nfft re-swept at this "
+            "K (the K=1024 sweep chose nfft=159)."
+        ),
+    }
+    with open("BANK10K_r04.json", "w") as fh:
+        json.dump(out, fh, indent=1)
+
+
 def main() -> None:
     _enable_compile_cache()
     import jax
@@ -53,16 +76,25 @@ def main() -> None:
 
     rows = {}
     default_nfft = fft_scorer.pick_nfft(length)
-    sweep = sorted(
-        {default_nfft, 223, 287, 351, 415}
-    )
+    sweep = sorted({default_nfft, 223, 287})
     best = None
+    w2 = c = feats = bank = None
     for nfft in sweep:
         hop = nfft - length + 1
         if hop % 16:
             continue
         bins = nfft // 2 + 1
         gbytes = bins * 2 * d * k_pad * 2 / 1e9
+        if gbytes > 10.0:
+            rows[nfft] = {"skipped": f"spectra {gbytes:.1f} GB + ~1.5 GB workspace exceeds the 16 GB HBM (measured OOM)"}
+            continue
+        # free the previous pick's bank BEFORE building the next one:
+        # two 6-12 GB spectra arrays cannot coexist in 16 GB HBM
+        del w2, c, feats, bank
+        w2 = c = feats = bank = None
+        import gc
+
+        gc.collect()
 
         @jax.jit
         def make(nfft=nfft, bins=bins):
@@ -119,27 +151,9 @@ def main() -> None:
         print(f"[bank10k] nfft={nfft}: {rate:.0f} audio-s/s", file=sys.stderr)
         if best is None or rate > rows[best]["audio_s_per_s"]:
             best = nfft
+        _write(rows, default_nfft, best, k, k_pad, length, b, t, audio_s)
 
-    out = {
-        "round": 4,
-        "bank_k": k,
-        "bank_k_padded": k_pad,
-        "template_len": length,
-        "batch_utts": b,
-        "frames_per_utt": t,
-        "audio_seconds_per_call": audio_s,
-        "per_nfft": rows,
-        "default_pick_nfft": default_nfft,
-        "best_nfft": best,
-        "note": (
-            "K=10,000 bank (config-5 scale, BASELINE.json:11) scored "
-            "single-chip through the production fft path; spectra "
-            "stream per call = spectra_gb.  pick_nfft re-swept at this "
-            "K (the K=1024 sweep chose nfft=159)."
-        ),
-    }
-    with open("BANK10K_r04.json", "w") as fh:
-        json.dump(out, fh, indent=1)
+    _write(rows, default_nfft, best, k, k_pad, length, b, t, audio_s)
     print(json.dumps({
         "bank10k_best_nfft": best,
         "bank10k_audio_s_per_s": rows[best]["audio_s_per_s"] if best else None,

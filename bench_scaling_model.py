@@ -23,7 +23,7 @@ CPU).  This harness adds what a projection needs:
    compute time for its half of the audio.  Zero overlap is assumed
    (worst case); DCN/ICI bandwidths are stated in the artifact.
 
-Output: SCALING_r03.json (also echoed as JSON lines).
+Output: SCALING_r04.json (also echoed as JSON lines).
 
 Run on fake devices:
   XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
@@ -46,7 +46,7 @@ DCN_BYTES_PER_S = float(os.environ.get("SCALE_DCN_BPS", 1.25e10))
 
 
 def _bench_e2e_rate() -> tuple[float, str]:
-    for name in ("BENCH_r04.json", "BENCH_r03.json", "BENCH_r02.json"):
+    for name in ("BENCH_r04.json", "BENCH_intra_r04.json", "BENCH_r03.json", "BENCH_r02.json"):
         path = os.path.join(os.path.dirname(__file__), name)
         if os.path.exists(path):
             with open(path) as f:
@@ -96,7 +96,7 @@ def main() -> None:
     t_comp_per_audio_s = 1.0 / rate_1chip      # chip-seconds per audio-second
 
     out = {
-        "metric": "scaling_model_r03",
+        "metric": "scaling_model_r04",
         "single_chip_e2e_audio_s_per_s": rate_1chip,
         "single_chip_source": rate_src,
         "assumed_ici_bytes_per_s": ICI_BYTES_PER_S,
@@ -195,7 +195,7 @@ def main() -> None:
              "0.8 under the stated DCN bandwidth"
     )
 
-    with open(os.path.join(os.path.dirname(__file__), "SCALING_r03.json"),
+    with open(os.path.join(os.path.dirname(__file__), "SCALING_r04.json"),
               "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps({"headline": out["headline_2host_efficiency"],

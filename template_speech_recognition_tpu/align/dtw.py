@@ -106,8 +106,102 @@ def dtw_keyword_scores_batch(
     """[B, M_pad, F, E] x [K, L, F, E] -> scores [B, K].
 
     ``use_pallas`` routes the banded DP through the wavefront kernel
-    (``ops.dtw_pallas``) on one [B*K, L, M] cost tensor; otherwise a
-    double-vmapped ``lax.scan``.  Same results (tested)."""
+    (``ops.dtw_pallas``) on a [chunk*K, L, M] cost tensor; otherwise a
+    double-vmapped ``lax.scan``.  Same results (tested).
+
+    The (segment x template) cost tensor is the memory hazard at
+    production scale -- B = batch x peaks and K = the full bank make
+    B*K*L*M cells (a 30 s batch at K=1024 with the default peak budget
+    would ask for ~9 GB; config-5 banks 10x that), so segments stream
+    through ``lax.map`` in chunks that cap the live cost tensor while
+    every chunk still fills the wavefront kernel's lanes.  Bitwise
+    identical to the unchunked computation (pure batching).
+    """
+    b, k = segments.shape[0], w.shape[0]
+    num_rows, m_pad = w.shape[1], segments.shape[1]
+    # ~256 MB of f32 cost cells per chunk
+    max_cells = 64 * 1024 * 1024
+    chunk = max(1, min(b, max_cells // max(k * num_rows * m_pad, 1)))
+    if chunk < b:
+        n_chunks = -(-b // chunk)
+        b_pad = n_chunks * chunk
+        if b_pad != b:
+            segments = jnp.concatenate(
+                [segments,
+                 jnp.zeros((b_pad - b,) + segments.shape[1:],
+                           segments.dtype)]
+            )
+            seg_lens = jnp.concatenate(
+                [seg_lens, jnp.ones((b_pad - b,), seg_lens.dtype)]
+            )
+        segs_c = segments.reshape((n_chunks, chunk) + segments.shape[1:])
+        lens_c = seg_lens.reshape(n_chunks, chunk)
+        out = jax.lax.map(
+            lambda t: _dtw_scores_chunk(
+                t[0], t[1], w, c_rows, band, use_pallas
+            ),
+            (segs_c, lens_c),
+        )
+        return out.reshape(b_pad, k)[:b]
+    return _dtw_scores_chunk(
+        segments, seg_lens, w, c_rows, band, use_pallas
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("band", "use_pallas"))
+def dtw_pairwise_scores(
+    segments: jnp.ndarray,     # [N, M_pad, F, E] (or [N, M_pad, D])
+    seg_lens: jnp.ndarray,     # [N] int32
+    w_pairs: jnp.ndarray,      # [N, L, F, E] per-pair template rows
+    c_pairs: jnp.ndarray,      # [N, L]
+    band: int,
+    use_pallas: bool = False,
+) -> jnp.ndarray:              # [N]
+    """DTW score of segment i against ITS OWN template i (the
+    ``dtw_top_r == 1`` verify-the-winner rescore): one batched GEMM
+    for the per-pair LLR cost, then the same banded DP as the
+    exhaustive path.  O(peaks) instead of O(peaks * bank) -- the
+    exhaustive rescore's cost GEMM alone is ~9 TFLOP per bench batch
+    at K=1024 (ROOFLINE_r04 dtw_e2e_share row), while this stays
+    constant in the bank size."""
+    n = segments.shape[0]
+    num_rows = w_pairs.shape[1]
+    seg = segments.reshape(n, segments.shape[1], -1).astype(jnp.float32)
+    wf = w_pairs.reshape(n, num_rows, -1).astype(jnp.float32)
+    llr = (
+        jnp.einsum("nld,nmd->nlm", wf, seg, precision=_PRECISION)
+        + c_pairs[:, :, None]
+    )                                              # [N, L, M]
+    lens = seg_lens.astype(jnp.int32)
+    if use_pallas:
+        from template_speech_recognition_tpu.ops.dtw_pallas import (
+            banded_dtw_pallas,
+        )
+
+        # pad pairs to a 256 multiple: banded_dtw_pallas picks the
+        # widest pair block DIVIDING n, and odd peak counts (e.g.
+        # 8*123) would otherwise force 8-pair blocks -- measured ~25x
+        # slower than 256-pair blocks on the latency-bound wavefront
+        n_pad = ((n + 255) // 256) * 256
+        cost = -llr
+        if n_pad != n:
+            cost = jnp.concatenate(
+                [cost,
+                 jnp.broadcast_to(cost[:1], (n_pad - n,) + cost.shape[1:])]
+            )
+            lens_p = jnp.concatenate([lens, jnp.ones(n_pad - n, jnp.int32)])
+        else:
+            lens_p = lens
+        total = banded_dtw_pallas(cost, lens_p, band)[:n]
+        scores = -total / (num_rows + lens).astype(jnp.float32)
+        return jnp.where(total > 1e37, -jnp.inf, scores)
+    total = jax.vmap(
+        lambda ll, ln: banded_dtw(-ll, ln, band)
+    )(llr, lens)
+    return -total / (num_rows + lens).astype(jnp.float32)
+
+
+def _dtw_scores_chunk(segments, seg_lens, w, c_rows, band, use_pallas):
     if not use_pallas:
 
         def one(seg, ln):

@@ -65,6 +65,10 @@ def _load_config(args):
         cfg = C.override(
             cfg, detect=C.override(cfg.detect, dtw_rescore=True)
         )
+    if getattr(args, "dtw_top_r", None) is not None:
+        cfg = C.override(
+            cfg, dtw=C.override(cfg.dtw, top_r=args.dtw_top_r)
+        )
     if getattr(args, "exact", False):
         cfg = C.override(
             cfg, detect=C.override(cfg.detect, exact_scores=True)
@@ -321,6 +325,9 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--bank", required=True)
     d.add_argument("--phone", required=True, help="target phone for labels")
     d.add_argument("--out", default=None, help="detections .npz path")
+    d.add_argument("--dtw-top-r", type=int, default=None,
+                   help="DTW rescore scope: 0 exhaustive (default), 1 "
+                        "verify-the-winner (constant in bank size)")
     d.add_argument("--dtw-rescore", action="store_true",
                    help="config 4: DTW-rescore the top-K peaks")
     d.add_argument("--exact", action="store_true",

@@ -119,6 +119,13 @@ class PartsConfig:
 @dataclasses.dataclass(frozen=True)
 class DTWConfig:
     band: int = 6                  # Sakoe-Chiba-style band half-width
+    # DTW rescoring scope: 0 = exhaustive (every peak against every
+    # template -- the cost GEMM is O(peaks * bank): ~9 TFLOP/batch at
+    # K=1024, dominating the whole scan step); 1 = verify-the-winner
+    # (each peak rescored against the template that won it -- constant
+    # in bank size; the template id is kept).  Identical results when
+    # the winner also wins the exhaustive DTW argmax.
+    top_r: int = 0
     # Long segments stream through the band-compressed wavefront kernel
     # in diagonal chunks (VMEM independent of M), so the cap is set by
     # HBM for the [pairs, L, M] cost tensor, not by the kernel.

@@ -51,8 +51,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def pick_nfft(length: int) -> int:
-    """hop = 16-aligned ~4*L, nfft = hop + L - 1.
+def pick_nfft(length: int, bank_k: int = 0) -> int:
+    """hop = 16-aligned ~4*L (large banks: ~8*L), nfft = hop + L - 1.
 
     Larger nfft lowers per-output MXU work (4*bins/hop) but grows the
     template-spectra array (bins * 2D * K) that the bin-matmul kernel
@@ -61,12 +61,18 @@ def pick_nfft(length: int) -> int:
     is a GEMM, not an FFT, so nfft need not be composite or even.
     Swept on a v5e-class chip at the bench shape (L=32) over nfft in
     {111,127,143,159,191,223,255,287} with the fully-fused kernel
-    path: 159 (hop=128, bins=80) is fastest, with a flat basin through
-    223; the old pick (255) is ~9% slower.  hop % 16 == 0 keeps the
-    forward-DFT kernel's window slices sublane-aligned so the fused
-    path engages.
+    path: 159 (hop=128, bins=80) is fastest at K=1024, with a flat
+    basin through 223; the old pick (255) is ~9% slower.  At config-5
+    bank scale the balance tips toward fewer MXU ops per output: the
+    K=10,000 re-sweep (bench_bank10k.py, BANK10K_r04.json) puts 223
+    (hop=192, ~6*L) 17% ahead of 159, while 287's spectra no longer
+    fit HBM beside the workspace at K=10k -- so banks past 4096
+    templates take the 6*L hop.  hop % 16 == 0 keeps the forward-DFT
+    kernel's window
+    slices sublane-aligned so the fused path engages.
     """
-    hop = max(16, ((4 * length + 15) // 16) * 16)
+    mult = 6 if bank_k >= 4096 else 4
+    hop = max(16, ((mult * length + 15) // 16) * 16)
     return hop + length - 1
 
 
@@ -146,7 +152,7 @@ def build_fft_bank(
     k, length = w.shape[0], w.shape[1]
     d = int(np.prod(w.shape[2:]))
     if nfft is None:
-        nfft = pick_nfft(length)
+        nfft = pick_nfft(length, bank_k=k)
     if nfft - length + 1 <= 0:
         raise ValueError(f"nfft {nfft} too small for template length {length}")
     w2 = _bank_spectra(w, nfft, mm_dtype)

@@ -314,9 +314,16 @@ def banded_dtw_pallas(
     k_pad = _round_up(k_diag, ck)
     if block_pairs is None:
         lane_pad = _round_up(lanes, 128)
-        budget = 8 * 1024 * 1024
+        # each wavefront step is one [bp, lanes] VPU op chain whose
+        # per-step overhead dominates at narrow blocks; wider pair
+        # blocks amortize it (measured +30% at bp=256 vs bp=64 at the
+        # bench shape -- the sequential-diagonal chain itself, not
+        # block width, is the remaining bound).  48 MB of streamed
+        # double-buffered chunk; the chip has 128 MB VMEM and the
+        # pallas call raises the default 16 MB scoped cap.
+        budget = 48 * 1024 * 1024
         block_pairs = 8
-        for bp in (512, 256, 128, 64, 32, 16):
+        for bp in (2048, 1024, 512, 256, 128, 64, 32, 16):
             if n % bp == 0 and bp * ck * lane_pad * 4 * 2 <= budget:
                 block_pairs = bp
                 break
@@ -375,6 +382,9 @@ def banded_dtw_pallas(
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(data, mlen)
     return out.reshape(n)

@@ -69,7 +69,7 @@ def _round_up(n: int, q: int) -> int:
     static_argnames=(
         "mesh", "fcfg", "backend", "length", "nfft", "d",
         "nms_radius", "top_k", "dtw", "m_seg", "band", "quant_scale",
-        "pcfg",
+        "pcfg", "dtw_top_r",
     ),
 )
 def sharded_scan_step(
@@ -95,6 +95,7 @@ def sharded_scan_step(
     band: int = 0,
     quant_scale: int = 256,
     pcfg=None,
+    dtw_top_r: int = 0,
 ):
     """One sharded batch step: padded waveforms -> per-utterance global
     top-K detections.  Returns (s, t, k) [B, top_k], data-sharded and
@@ -277,22 +278,47 @@ def sharded_scan_step(
             ext, idx
         )                                                 # [B_l, P, m, D]
         seg_lens = jnp.clip(vf_l.astype(jnp.int32)[:, None] - t_m, 1, m_seg)
-        pair = dtw_keyword_scores_batch.__wrapped__(
-            segs.reshape((b_l * p, m_seg) + segs.shape[3:]),
-            seg_lens.reshape(-1),
-            wr_l, cr_l, band, use_pallas,
-        ).reshape(b_l, p, -1)                             # [B_l, P, K_l]
-        best_p = jnp.max(pair, axis=-1)
-        bid_p = (
-            jnp.argmax(pair, axis=-1).astype(jnp.int32)
-            + lax.axis_index("bank") * pair.shape[-1]
-        )
-        gs = lax.all_gather(best_p, "bank")               # [n_bank, B_l, P]
-        gi = lax.all_gather(bid_p, "bank")
-        bb = jnp.max(gs, axis=0)
-        bi = jnp.min(
-            jnp.where(gs == bb[None], gi, jnp.int32(2**31 - 1)), axis=0
-        )
+        if dtw_top_r == 1:
+            # verify-the-winner (DTWConfig.top_r): each merged peak is
+            # rescored only against the template that won it; the bank
+            # shard owning that template computes the pairwise score,
+            # the others contribute -inf, pmax combines -- cost is
+            # constant in the bank size (the exhaustive path's cost
+            # GEMM is O(peaks * K_l))
+            from template_speech_recognition_tpu.align.dtw import (
+                dtw_pairwise_scores,
+            )
+
+            k_l_rows = wr_l.shape[0]
+            k0b = lax.axis_index("bank") * k_l_rows
+            lid = k_m - k0b
+            owned_b = (lid >= 0) & (lid < k_l_rows)
+            safe = jnp.clip(lid, 0, k_l_rows - 1).reshape(-1)
+            wk = jnp.take(wr_l, safe, axis=0)     # [B_l*P, L, D]
+            ck = jnp.take(cr_l, safe, axis=0)     # [B_l*P, L]
+            sc1 = dtw_pairwise_scores.__wrapped__(
+                segs.reshape((b_l * p, m_seg) + segs.shape[3:]),
+                seg_lens.reshape(-1), wk, ck, band, use_pallas,
+            ).reshape(b_l, p)
+            bb = lax.pmax(jnp.where(owned_b, sc1, _NEG), "bank")
+            bi = k_m
+        else:
+            pair = dtw_keyword_scores_batch.__wrapped__(
+                segs.reshape((b_l * p, m_seg) + segs.shape[3:]),
+                seg_lens.reshape(-1),
+                wr_l, cr_l, band, use_pallas,
+            ).reshape(b_l, p, -1)                         # [B_l, P, K_l]
+            best_p = jnp.max(pair, axis=-1)
+            bid_p = (
+                jnp.argmax(pair, axis=-1).astype(jnp.int32)
+                + lax.axis_index("bank") * pair.shape[-1]
+            )
+            gs = lax.all_gather(best_p, "bank")           # [n_bank, B_l, P]
+            gi = lax.all_gather(bid_p, "bank")
+            bb = jnp.max(gs, axis=0)
+            bi = jnp.min(
+                jnp.where(gs == bb[None], gi, jnp.int32(2**31 - 1)), axis=0
+            )
         own = local & keep
         bb = jnp.where(own, bb, _NEG)
         bi = jnp.where(own, bi, 0)
@@ -470,6 +496,7 @@ def detect_corpus_sharded(
             dtw=dcfg.dtw_rescore, m_seg=m_seg, band=cfg.dtw.band,
             quant_scale=dcfg.quant_scale,
             pcfg=cfg.parts if bank.parts is not None else None,
+            dtw_top_r=cfg.dtw.top_r,
         )
 
     n_time = mesh.shape["time"]

@@ -60,11 +60,21 @@ def batched_top_detections(scores, valid_frames, template_length,
     return jax.vmap(one)(scores, valid_frames)
 
 
-def dtw_rescore_batched(binary, valid_frames, scores, times,
-                        w_rows, c_rows, m_seg, band, use_pallas):
-    """Batched config-4 rescore: every (utterance, peak) segment goes
-    through ONE ``dtw_keyword_scores_batch`` call (one wavefront-kernel
-    launch for the whole batch) instead of a per-utterance loop."""
+def dtw_rescore_batched(binary, valid_frames, scores, times, ids,
+                        w_rows, c_rows, m_seg, band, use_pallas,
+                        top_r=0):
+    """Batched config-4 rescore of the top-K peaks.
+
+    ``top_r == 0``: exhaustive -- every (utterance, peak) segment is
+    scored against EVERY template through one
+    ``dtw_keyword_scores_batch`` call and the template argmax may
+    change.  O(peaks * bank) cost GEMM: fine for classification-sized
+    banks, ~9 TFLOP per bench batch at K=1024 (ROOFLINE_r04).
+
+    ``top_r == 1``: verify-the-winner -- each peak is rescored only
+    against the template that won it (``ids``), via the pairwise
+    batched GEMM + the same banded DP; cost is constant in the bank
+    size and the template id is kept (DTWConfig.top_r)."""
     b, p = scores.shape
     tdim = binary.shape[1]
     t_idx = jnp.clip(times, 0, tdim - 1)
@@ -77,6 +87,26 @@ def dtw_rescore_batched(binary, valid_frames, scores, times,
     seg_lens = jnp.clip(
         valid_frames.astype(jnp.int32)[:, None] - t_idx, 1, m_seg
     )
+    keep = jnp.isfinite(scores)
+    if top_r == 1:
+        from template_speech_recognition_tpu.align.dtw import (
+            dtw_pairwise_scores,
+        )
+
+        safe = jnp.clip(ids, 0, w_rows.shape[0] - 1)
+        wk = jnp.take(w_rows, safe, axis=0)       # [B, P, L, ...]
+        ck = jnp.take(c_rows, safe, axis=0)       # [B, P, L]
+        pair1 = dtw_pairwise_scores.__wrapped__(
+            segs.reshape((b * p,) + segs.shape[2:]),
+            seg_lens.reshape(-1),
+            wk.reshape((b * p,) + wk.shape[2:]),
+            ck.reshape(b * p, -1),
+            band, use_pallas,
+        ).reshape(b, p)
+        return (
+            jnp.where(keep, pair1, -jnp.inf),
+            jnp.where(keep, ids, 0),
+        )
     pair = dtw_keyword_scores_batch.__wrapped__(
         segs.reshape((b * p,) + segs.shape[2:]),
         seg_lens.reshape(-1),
@@ -84,7 +114,6 @@ def dtw_rescore_batched(binary, valid_frames, scores, times,
     ).reshape(b, p, -1)                           # [B, P, K]
     best = jnp.max(pair, axis=-1)
     bid = jnp.argmax(pair, axis=-1).astype(jnp.int32)
-    keep = jnp.isfinite(scores)
     return jnp.where(keep, best, -jnp.inf), jnp.where(keep, bid, 0)
 
 
@@ -92,7 +121,7 @@ def dtw_rescore_batched(binary, valid_frames, scores, times,
     jax.jit,
     static_argnames=(
         "fcfg", "backend", "template_length", "nms_radius", "top_k",
-        "dtw", "m_seg", "band",
+        "dtw", "m_seg", "band", "dtw_top_r",
     ),
 )
 def scan_step(
@@ -110,6 +139,7 @@ def scan_step(
     dtw: bool,
     m_seg: int,
     band: int,
+    dtw_top_r: int = 0,
 ):
     """One fused scan step: waveforms -> fixed-size detections, no host
     syncs anywhere inside.  Padded batch rows (valid_samples == 0) come
@@ -143,8 +173,8 @@ def scan_step(
         )
     if dtw:
         s, k = dtw_rescore_batched(
-            fm.binary, fm.valid_frames, s, t, w_rows, c_rows,
-            m_seg, band, use_pallas=on_accel,
+            fm.binary, fm.valid_frames, s, t, k, w_rows, c_rows,
+            m_seg, band, use_pallas=on_accel, top_r=dtw_top_r,
         )
     return s, t, k
 
@@ -198,6 +228,7 @@ def detect_corpus_stream(
         template_length=bank.template_length,
         nms_radius=dcfg.nms_radius,
         dtw=dcfg.dtw_rescore, m_seg=m_seg, band=cfg.dtw.band,
+        dtw_top_r=cfg.dtw.top_r,
     )
 
     def compute(wavs_np, vs_np):
@@ -260,6 +291,9 @@ def stream_scan(
     from template_speech_recognition_tpu.detect import evaluate as ev
     from template_speech_recognition_tpu.utils.metrics import StageCounters
 
+    import collections
+    import os as _os
+
     stats = StageCounters()
     lazy = (
         local_rows is not None
@@ -271,7 +305,13 @@ def stream_scan(
     labels: list[np.ndarray] = []
     utt_ids: list[str] = []
     pending: dict[int, list] = {}       # pad_samples -> [(gidx, wav)]
-    inflight = None                     # (shard_id, gidxs, outputs, on_host)
+    # In-flight dispatch window: each drain blocks on a device batch
+    # plus a host round trip, so a 1-deep pipeline pays the full
+    # (dispatch + device + fetch) latency per batch on a tunneled
+    # PJRT.  A small window keeps several batches in flight and the
+    # async host copies (started at dispatch) land before their drain.
+    depth = max(int(_os.environ.get("SCAN_PIPELINE_DEPTH", "3")), 1)
+    inflight = collections.deque()      # (shard_id, gidxs, outputs, on_host)
     shard_id = 0
     total_samples = 0
     stats.start("scan")
@@ -299,6 +339,12 @@ def stream_scan(
             elif row in local_rows:
                 wavs[row, :n] = corpus.get_waveform(g)
         out = compute(wavs, vs)
+        try:
+            # overlap device->host transfers with subsequent batches
+            for leaf in out:
+                leaf.copy_to_host_async()
+        except (AttributeError, TypeError):
+            pass                        # non-jax outputs (tests/mocks)
         if batch_counter_fn is not None:
             for name, val in batch_counter_fn(pad).items():
                 stats.add(name, val)
@@ -319,43 +365,54 @@ def stream_scan(
         for row, g in enumerate(gidxs):
             results[g] = (s[row], t[row], k[row])
 
+    def _drain_all_surviving():
+        """On a mid-scan failure, record the batches that already
+        completed (the manifest's whole point) before propagating."""
+        while inflight:
+            try:
+                drain(inflight.popleft())
+            except Exception:
+                break
+
     source = (
         corpus.iter_utterance_infos() if lazy else corpus.iter_utterances()
     )
-    for gidx, (uid, payload, phones) in enumerate(source):
-        nf = payload if lazy else len(payload)
-        total_samples += nf
-        utt_ids.append(uid)
-        if target_phone is not None:
-            labels.append(np.asarray(
-                [s0 // fcfg.hop_length
-                 for (ph, s0, _e) in phones if ph == target_phone],
-                dtype=np.int64,
-            ))
-        else:
-            labels.append(np.zeros(0, np.int64))
-        stats.add("frames", float(
-            (nf - fcfg.frame_length) // fcfg.hop_length
-            if nf >= fcfg.frame_length else 0
-        ))
-        pad = bucket_length(nf)
-        pending.setdefault(pad, []).append((gidx, payload))
-        if len(pending[pad]) == batch_size:
-            flight = flush(shard_id, pending.pop(pad), pad)
-            shard_id += 1
-            if inflight is not None:
-                drain(inflight)
-            inflight = flight
-    # Partial tail batches, one per bucket (rows past the tail stay
-    # zero -> valid 0 -> all--inf detections, dropped by DetectionSet).
-    for pad in sorted(pending):
-        flight = flush(shard_id, pending[pad], pad)
-        shard_id += 1
-        if inflight is not None:
-            drain(inflight)
-        inflight = flight
-    if inflight is not None:
-        drain(inflight)
+    try:
+        for gidx, (uid, payload, phones) in enumerate(source):
+          nf = payload if lazy else len(payload)
+          total_samples += nf
+          utt_ids.append(uid)
+          if target_phone is not None:
+              labels.append(np.asarray(
+                  [s0 // fcfg.hop_length
+                   for (ph, s0, _e) in phones if ph == target_phone],
+                  dtype=np.int64,
+              ))
+          else:
+              labels.append(np.zeros(0, np.int64))
+          stats.add("frames", float(
+              (nf - fcfg.frame_length) // fcfg.hop_length
+              if nf >= fcfg.frame_length else 0
+          ))
+          pad = bucket_length(nf)
+          pending.setdefault(pad, []).append((gidx, payload))
+          if len(pending[pad]) == batch_size:
+              inflight.append(flush(shard_id, pending.pop(pad), pad))
+              shard_id += 1
+              while len(inflight) > depth:
+                  drain(inflight.popleft())
+        # Partial tail batches, one per bucket (rows past the tail stay
+        # zero -> valid 0 -> all--inf detections, dropped by DetectionSet).
+        for pad in sorted(pending):
+          inflight.append(flush(shard_id, pending[pad], pad))
+          shard_id += 1
+          while len(inflight) > depth:
+              drain(inflight.popleft())
+        while inflight:
+          drain(inflight.popleft())
+    except BaseException:
+        _drain_all_surviving()
+        raise
     if not results and not utt_ids:
         raise ValueError("empty corpus")
 
