@@ -1,16 +1,20 @@
-"""Stage-by-stage frontend profile on the real chip (round-2 verdict,
-missing item 1: "No stage-level frontend profile exists to confirm the
-split").  Times each frontend stage in isolation with the slope method
+"""Stage-by-stage frontend profile on the real chip.
+
+Profiles the PRODUCTION plane-major frontend (frontend.planes
+.frontend_batch_flat -- the two-kernel hot path) with the slope method
 (see bench.py docstring) and prints one JSON line with per-stage
 seconds for the standard bench batch (B=8 utterances x 30 s).
 
 Stages:
-  frame     preemphasis + framing + window      [B,S] -> [B,T,400]
-  edges     fused Pallas DFT+log+diff           frames -> resp [B,T-1,256,8]
-  quantile  per-channel threshold               resp -> tau [B,8]
-  binarize  resp > tau + row mask               resp -> bool
-  spread    3x3 max reduce-window + mask        bool -> bool
-  full      frontend_batch end to end
+  frames        preemphasis + framing + window   [B,S] -> [B,T,400]
+  resp_stacked  fused DFT+log+diff kernel        frames -> [4, B*T, F]
+  selbin        resident select+binarize+spread  planes -> flat u8 map
+  full          frontend_batch_flat end to end (the production entry)
+
+History: the round-3 version of this harness profiled the classic
+channels-minor path (edges/quantile/binarize/spread as separate XLA
+stages); that layout is no longer on any hot path -- see
+docs/PERFORMANCE.md for the redesign.
 """
 
 from __future__ import annotations
@@ -18,9 +22,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
-
-import numpy as np
 
 from bench import _enable_compile_cache, _slope_time
 
@@ -31,10 +32,12 @@ def main() -> None:
     import jax.numpy as jnp
 
     from template_speech_recognition_tpu.config import FrontendConfig
-    from template_speech_recognition_tpu.frontend import frontend_batch
-    from template_speech_recognition_tpu.ops import edges, framing
+    from template_speech_recognition_tpu.frontend import planes as P
     from template_speech_recognition_tpu.ops.frontend_pallas import (
-        edge_responses_pallas,
+        edge_response_planes_stacked_pallas,
+    )
+    from template_speech_recognition_tpu.ops.selbin_pallas import (
+        select_binspread_pallas,
     )
     from template_speech_recognition_tpu.pipeline import bucket_length
 
@@ -44,6 +47,7 @@ def main() -> None:
     samples = t * fcfg.hop_length + fcfg.frame_length
     pad = bucket_length(samples)
     audio_s = b * samples / fcfg.sample_rate
+    f = fcfg.feature_freqs
 
     @jax.jit
     def make_wavs():
@@ -52,116 +56,65 @@ def main() -> None:
     wavs = make_wavs()
     wavs.block_until_ready()
     valid = jnp.full((b,), samples, jnp.int32)
+    valid_frames = jnp.where(
+        valid >= fcfg.frame_length,
+        (valid - fcfg.frame_length) // fcfg.hop_length, 0,
+    ).astype(jnp.int32)
 
-    n_frames = 1 + (pad - fcfg.frame_length) // fcfg.hop_length
-    t_pad = ((n_frames + 127) // 128) * 128
+    def stage_frames(wv):
+        return jnp.sum(P._windowed_frames(wv, fcfg))
 
-    def stage_frame(wv):
-        y = jax.vmap(lambda w: framing.preemphasize(w, fcfg.preemphasis))(wv)
-        fr = jax.vmap(
-            lambda s: framing.frame_signal(s, fcfg.frame_length, fcfg.hop_length)
-        )(y)
-        fr = fr * framing.hamming_window(fcfg.frame_length)[None, None, :]
-        return jnp.sum(fr)
+    dt_frames = _slope_time(stage_frames, wavs, reps=(2, 8))
 
-    def make_frames():
-        @jax.jit
-        def go(wv):
-            y = jax.vmap(lambda w: framing.preemphasize(w, fcfg.preemphasis))(wv)
-            fr = jax.vmap(
-                lambda s: framing.frame_signal(s, fcfg.frame_length, fcfg.hop_length)
-            )(y)
-            fr = fr * framing.hamming_window(fcfg.frame_length)[None, None, :]
-            out = jnp.zeros((b, t_pad, fcfg.frame_length), jnp.float32)
-            return out.at[:, :n_frames].set(fr).reshape(b * t_pad, fcfg.frame_length)
+    frames = jax.jit(lambda wv: P._windowed_frames(wv, fcfg))(wavs)
+    frames.block_until_ready()
+    bb, tt = frames.shape[0], frames.shape[1]
+    t_pad = ((tt + 127) // 128) * 128
+    fp = (
+        jnp.zeros((bb, t_pad, fcfg.frame_length), jnp.float32)
+        .at[:, :tt].set(frames)
+        .reshape(bb * t_pad, fcfg.frame_length)
+    )
 
-        return go(wavs)
+    def stage_resp(x):
+        return jnp.sum(edge_response_planes_stacked_pallas(
+            x, fcfg.nfft, sample_rate=fcfg.sample_rate, n_mels=0
+        ))
 
-    frames_p = make_frames()
-    frames_p.block_until_ready()
+    dt_resp = _slope_time(stage_resp, fp, reps=(2, 8))
 
-    def stage_edges(fp):
-        resp = edge_responses_pallas(fp, fcfg.nfft)
-        return jnp.sum(resp)
-
-    @jax.jit
-    def make_resp(fp):
-        r = edge_responses_pallas(fp, fcfg.nfft)
-        return r.reshape(b, t_pad, fcfg.feature_freqs, 8)[:, : n_frames - 1]
-
-    resp = make_resp(frames_p)
-    resp.block_until_ready()
-    vf = jnp.full((b,), t - 1, jnp.int32)
-
-    def stage_quantile(r, v):
-        tau = jax.vmap(
-            lambda rr, vv: edges.quantile_threshold(rr, fcfg.edge_quantile, vv)
-        )(r, v)
-        return jnp.sum(tau)
-
-    def stage_binarize(r, v):
-        bb = jax.vmap(lambda rr, vv: edges.binarize(rr, fcfg.edge_quantile, vv))(
-            r, v
+    stacked = jax.jit(
+        lambda x: edge_response_planes_stacked_pallas(
+            x, fcfg.nfft, sample_rate=fcfg.sample_rate, n_mels=0
         )
-        return jnp.sum(bb.astype(jnp.float32))
+    )(fp)
+    stacked.block_until_ready()
+    planes4 = stacked.reshape(4, bb, t_pad, f)
+    need = P._dual_ranks(valid_frames, f, fcfg.edge_quantile)
 
-    @jax.jit
-    def make_binary(r, v):
-        return jax.vmap(lambda rr, vv: edges.binarize(rr, fcfg.edge_quantile, vv))(
-            r, v
+    def stage_selbin(p4):
+        fl, keys = select_binspread_pallas(
+            p4, need, valid_frames, fcfg.spread_freq, fcfg.spread_time
+        )
+        return jnp.sum(fl.astype(jnp.int32)) + jnp.sum(
+            keys.astype(jnp.int32)
         )
 
-    binary = make_binary(resp, vf)
-    binary.block_until_ready()
+    dt_selbin = _slope_time(stage_selbin, planes4, reps=(2, 8))
 
-    def stage_spread(bb, v):
-        out = jax.vmap(
-            lambda x, vv: edges.mask_rows(
-                edges.spread_binary(x, fcfg.spread_time, fcfg.spread_freq), vv
-            )
-        )(bb, v)
-        return jnp.sum(out.astype(jnp.float32))
+    def stage_full(wv):
+        fm = P.frontend_batch_flat(wv, valid, fcfg)
+        return jnp.sum(fm.binary.astype(jnp.int32))
 
-    def stage_full(wv, vs):
-        fm = frontend_batch(wv, vs, fcfg)
-        return jnp.sum(fm.binary.astype(jnp.float32))
-
-    results = {}
-    for name, fn, args in [
-        ("frame", stage_frame, (wavs,)),
-        ("edges", stage_edges, (frames_p,)),
-        ("quantile", stage_quantile, (resp, vf)),
-        ("binarize", stage_binarize, (resp, vf)),
-        ("spread", stage_spread, (binary.astype(jnp.float32), vf)),
-        ("full", stage_full, (wavs, valid)),
-    ]:
-        # spread takes a float input so the +eps perturbation in
-        # _slope_time type-checks; cast back inside.
-        if name == "spread":
-            f0 = fn
-
-            def fn(x, v):
-                return f0(x > 0.5, v)
-
-        t0 = time.perf_counter()
-        dt = _slope_time(fn, *args, reps=(2, 8))
-        print(
-            f"[stage] {name}: {dt*1e3:.2f} ms "
-            f"({audio_s/dt:.0f} audio-s/s) "
-            f"[wall {time.perf_counter()-t0:.0f}s]",
-            file=sys.stderr,
-        )
-        results[name] = {
-            "ms": round(dt * 1e3, 3),
-            "audio_s_per_s": round(audio_s / dt, 1),
-        }
+    dt_full = _slope_time(stage_full, wavs, reps=(2, 8))
 
     print(json.dumps({
-        "metric": "frontend_stage_profile",
-        "batch_utts": b,
-        "frames_per_utt": t,
-        "audio_seconds": round(audio_s, 1),
-        "stages": results,
+        "frames_s": dt_frames,
+        "resp_stacked_s": dt_resp,
+        "selbin_s": dt_selbin,
+        "full_s": dt_full,
+        "audio_s_per_call": audio_s,
+        "frontend_audio_s_per_s": round(audio_s / dt_full, 1),
     }))
     sys.stdout.flush()
     sys.stderr.flush()

@@ -187,8 +187,12 @@ def main() -> None:
         "note": (
             "clean_run.audio_s_per_s is corpus-level wall-clock "
             "throughput (host batching + device scan + manifest-free "
-            "fetch) on the single real chip; compare "
-            "BENCH e2e_audio_s_per_s"
+            "fetch) on the single real chip behind the axon tunnel; "
+            "the tunnel's fixed per-batch round trips (~29 ms "
+            "dispatch + ~85 ms fetch, ~0.1-0.35 s per serial cycle) "
+            "are the binding cost here, partially hidden by the "
+            "3-deep scan pipeline -- compare BENCH e2e_audio_s_per_s "
+            "for the tunnel-free device step rate"
         ),
     }
     with open("SOAK_r04.json", "w") as fh:

@@ -66,7 +66,7 @@ _MASKED = 0xFFFFFFFF
 
 def _kernel(planes_ref, need_ref, valid_ref,
             flat_ref, key_ref, keys_ref,
-            *, rf: int, rt: int, f: int, t: int):
+            *, rf: int, rt: int, f: int, t: int, db: int):
     bi = pl.program_id(0)
     pi = pl.program_id(1)
 
@@ -82,21 +82,46 @@ def _kernel(planes_ref, need_ref, valid_ref,
     need_hi = need_ref[bi, 0]
     need_lo = need_ref[bi, 1]
 
-    def level(_, carry):
-        v_hi, v_lo, step = carry
-        b_hi = v_hi + step
-        b_lo = v_lo + step
-        ks = keys_ref[...]
-        c_hi = jnp.sum((ks < b_hi).astype(jnp.int32))
-        c_lo = jnp.sum((ks < b_lo).astype(jnp.int32))
-        v_hi = jnp.where(c_hi < need_hi, b_hi, v_hi)
-        v_lo = jnp.where(c_lo < need_lo, b_lo, v_lo)
-        return v_hi, v_lo, step >> jnp.uint32(1)
+    if db == 1:
+        def level(_, carry):
+            v_hi, v_lo, step = carry
+            b_hi = v_hi + step
+            b_lo = v_lo + step
+            ks = keys_ref[...]
+            c_hi = jnp.sum((ks < b_hi).astype(jnp.int32))
+            c_lo = jnp.sum((ks < b_lo).astype(jnp.int32))
+            v_hi = jnp.where(c_hi < need_hi, b_hi, v_hi)
+            v_lo = jnp.where(c_lo < need_lo, b_lo, v_lo)
+            return v_hi, v_lo, step >> jnp.uint32(1)
 
-    v_hi, v_lo, _ = jax.lax.fori_loop(
-        0, 32, level,
-        (jnp.uint32(0), jnp.uint32(0), jnp.uint32(_SIGN)),
-    )
+        v_hi, v_lo, _ = jax.lax.fori_loop(
+            0, 32, level,
+            (jnp.uint32(0), jnp.uint32(0), jnp.uint32(_SIGN)),
+        )
+    else:                       # db == 2: 16 levels x 3 cumulative bounds
+        def level2(_, carry):
+            v_hi, v_lo, sub = carry
+            ks = keys_ref[...]
+
+            def digit(v, need):
+                c1 = jnp.sum((ks < v + sub).astype(jnp.int32))
+                c2 = jnp.sum((ks < v + 2 * sub).astype(jnp.int32))
+                c3 = jnp.sum((ks < v + 3 * sub).astype(jnp.int32))
+                d = (
+                    (c1 < need).astype(jnp.uint32)
+                    + (c2 < need).astype(jnp.uint32)
+                    + (c3 < need).astype(jnp.uint32)
+                )
+                return v + d * sub
+
+            v_hi = digit(v_hi, need_hi)
+            v_lo = digit(v_lo, need_lo)
+            return v_hi, v_lo, sub >> jnp.uint32(2)
+
+        v_hi, v_lo, _ = jax.lax.fori_loop(
+            0, 16, level2,
+            (jnp.uint32(0), jnp.uint32(0), jnp.uint32(1 << 30)),
+        )
     key_ref[bi, pi, 0] = v_hi
     key_ref[bi, pi, 1] = v_lo
 
@@ -144,7 +169,9 @@ def _kernel(planes_ref, need_ref, valid_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("spread_freq", "spread_time", "interpret")
+    jax.jit,
+    static_argnames=("spread_freq", "spread_time", "digit_bits",
+                     "interpret"),
 )
 def select_binspread_pallas(
     planes: jnp.ndarray,        # [P, B, T, F] f32 response planes
@@ -152,6 +179,7 @@ def select_binspread_pallas(
     valid_frames: jnp.ndarray,  # [B] int32
     spread_freq: int,
     spread_time: int = 0,
+    digit_bits: int = 1,
     interpret: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused select + binarize + freq-spread over response planes.
@@ -165,6 +193,13 @@ def select_binspread_pallas(
     valid False) and ``keys`` [B, P, 2] uint32 holds the selected
     order keys (``ops.edges.key_to_float`` recovers the float
     statistics).  Constraints: T % 128 == 0, F % 128 == 0.
+
+    ``digit_bits`` picks the bisection schedule (1 -> 32 levels x 1
+    cumulative bound per rank, 2 -> 16 levels x 3); both select the
+    bit-identical element (digit-schedule invariance).  1 is the
+    default and measured faster (1.95 vs 2.17 ms at the bench shape):
+    the VPU predicate+accumulate count (2 vs 3 per resolved bit pair)
+    binds, not the once-per-level VMEM re-read the wider digit halves.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -174,7 +209,8 @@ def select_binspread_pallas(
         raise ValueError(f"T={t} and F={f} must be multiples of 128")
     vf = valid_frames.astype(jnp.int32).reshape(b, 1)
     flat, keys = pl.pallas_call(
-        functools.partial(_kernel, rf=spread_freq, rt=spread_time, f=f, t=t),
+        functools.partial(_kernel, rf=spread_freq, rt=spread_time,
+                          f=f, t=t, db=digit_bits),
         grid=(b, p),
         in_specs=[
             pl.BlockSpec((1, 1, t, f), lambda bi, pi: (pi, bi, 0, 0)),

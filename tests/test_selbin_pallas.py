@@ -66,6 +66,23 @@ def test_selbin_matches_layered_select(q, rf, rt):
     )
 
 
+def test_selbin_digit_bits_schedules_identical():
+    """1-bit and 2-bit bisection schedules select the bit-identical
+    element (digit-schedule invariance) and emit identical maps."""
+    b, p, t, f = 2, 4, 256, 128
+    planes = _random_planes(b, p, t, f, seed=11)
+    valid = jnp.asarray([t, 19], jnp.int32)
+    need = planes_mod._dual_ranks(valid, f, 0.98)
+    f1, k1 = select_binspread_pallas(
+        planes, need, valid, 1, 1, digit_bits=1, interpret=True
+    )
+    f2, k2 = select_binspread_pallas(
+        planes, need, valid, 1, 1, digit_bits=2, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+
+
 def test_selbin_all_rows_invalid():
     b, p, t, f = 2, 4, 128, 128
     planes = _random_planes(b, p, t, f, seed=3)
