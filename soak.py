@@ -19,7 +19,8 @@ and corpus audio-s/s next to the bench e2e figure for comparison.
 
 Knobs: SOAK_UTTS_PER_GROUP (default 75), SOAK_MESH "d,b,t"
 (default "1,1,1": the one real chip; any product matching the
-device count works).
+device count works), SOAK_DTW=1 (config 4 at corpus scale: DTW
+rescoring with DTWConfig.top_r=1 verify-the-winner).
 """
 
 from __future__ import annotations
@@ -86,7 +87,16 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    cfg = PipelineConfig(detect=DetectConfig(batch_size=8))
+    use_dtw = os.environ.get("SOAK_DTW", "0") == "1"
+    if use_dtw:
+        from template_speech_recognition_tpu.config import DTWConfig
+
+        cfg = PipelineConfig(
+            detect=DetectConfig(batch_size=8, dtw_rescore=True),
+            dtw=DTWConfig(top_r=1),
+        )
+    else:
+        cfg = PipelineConfig(detect=DetectConfig(batch_size=8))
     mesh = build_mesh(MeshConfig(*mesh_shape))
     t0 = time.perf_counter()
     bank = train_bank(corpus, ["aa", "iy"], cfg)
@@ -165,6 +175,7 @@ def main() -> None:
             "length_groups_s": "~5/10/14/19",
         },
         "mesh": dict(zip(("data", "bank", "time"), mesh_shape)),
+        "dtw_rescore_top_r1": use_dtw,
         "fault_run": {
             "killed_after_batches": fault_at,
             "shards_recorded": shards_done,
@@ -195,7 +206,8 @@ def main() -> None:
             "for the tunnel-free device step rate"
         ),
     }
-    with open("SOAK_r04.json", "w") as fh:
+    out_name = "SOAK_DTW_r04.json" if use_dtw else "SOAK_r04.json"
+    with open(out_name, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps({"soak_audio_s_per_s": out["clean_run"]["audio_s_per_s"],
                       "audio_min": round(audio_s / 60, 1)}))

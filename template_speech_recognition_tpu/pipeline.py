@@ -280,7 +280,7 @@ def train_bank(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("m_seg", "band", "use_pallas")
+    jax.jit, static_argnames=("m_seg", "band", "use_pallas", "top_r")
 )
 def dtw_rescore_detections(
     binary_map: jnp.ndarray,     # [T', F, E] feature map (padded)
@@ -292,14 +292,21 @@ def dtw_rescore_detections(
     m_seg: int,
     band: int,
     use_pallas: bool = False,
+    ids: jnp.ndarray | None = None,
+    top_r: int = 0,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Config 4 (BASELINE.json:10): re-score the top-K sliding-window
     peaks with banded-DTW alignment over a stretchable segment of up to
     ``m_seg`` frames; returns (new scores [P], new template ids [P]).
     Variable-length matching: each peak's segment may be shorter (up to
     the valid end) or longer than the template; the band admits the
-    warp.  Empty slots stay -inf."""
-    from template_speech_recognition_tpu.align.dtw import dtw_keyword_scores_batch
+    warp.  Empty slots stay -inf.  ``top_r=1`` with ``ids`` rescores
+    each peak only against its sliding winner (DTWConfig.top_r; the
+    exhaustive default scores every template and re-argmaxes)."""
+    from template_speech_recognition_tpu.align.dtw import (
+        dtw_keyword_scores_batch,
+        dtw_pairwise_scores,
+    )
 
     t_idx = jnp.clip(times, 0, binary_map.shape[0] - 1)
     idx = jnp.clip(
@@ -307,12 +314,21 @@ def dtw_rescore_detections(
     )
     segs = jnp.take(binary_map, idx, axis=0).astype(jnp.float32)
     seg_lens = jnp.clip(valid_frames.astype(jnp.int32) - t_idx, 1, m_seg)
+    keep = jnp.isfinite(scores)
+    if top_r == 1 and ids is not None:
+        safe = jnp.clip(ids, 0, w_rows.shape[0] - 1)
+        sc1 = dtw_pairwise_scores.__wrapped__(
+            segs, seg_lens,
+            jnp.take(w_rows, safe, axis=0),
+            jnp.take(c_rows, safe, axis=0),
+            band, use_pallas,
+        )
+        return jnp.where(keep, sc1, -jnp.inf), jnp.where(keep, ids, 0)
     pair = dtw_keyword_scores_batch.__wrapped__(
         segs, seg_lens, w_rows, c_rows, band, use_pallas
     )                                                        # [P, K]
     best = jnp.max(pair, axis=-1)
     bid = jnp.argmax(pair, axis=-1).astype(jnp.int32)
-    keep = jnp.isfinite(scores)
     return jnp.where(keep, best, -jnp.inf), jnp.where(keep, bid, 0)
 
 
@@ -483,6 +499,7 @@ def _detect_corpus_loop(
                 # Wavefront kernel on accelerators (5x faster compile,
                 # same results); interpret-mode pallas is slow on CPU.
                 use_pallas=jax.default_backend() != "cpu",
+                ids=k, top_r=cfg.dtw.top_r,
             )
         per_utt.append((np.asarray(s), np.asarray(t), np.asarray(k)))
         if target_phone is not None:
