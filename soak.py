@@ -21,6 +21,17 @@ Knobs: SOAK_UTTS_PER_GROUP (default 75), SOAK_MESH "d,b,t"
 (default "1,1,1": the one real chip; any product matching the
 device count works), SOAK_DTW=1 (config 4 at corpus scale: DTW
 rescoring with DTWConfig.top_r=1 verify-the-winner).
+
+KNOWN ISSUE (round 4, unresolved): with SOAK_DTW=1 the tunneled TPU
+worker crashes partway through the corpus scan (reproduced twice on
+resume and once on a clean scan).  Exoneration sweeps all pass on the
+chip: the plain soak (fault+resume+clean, bitwise), the DTW wavefront
+kernel at every soak shape including the real bank's L=9 and every
+pair-count padding, and the FULL dtw_top_r=1 sharded step at all four
+soak bucket shapes for both L=12 and L=9.  Only the full multi-batch
+DTW soak sequence crashes, pointing at cumulative device state or a
+data-dependent batch deep in the corpus; next step is bisecting the
+corpus under SOAK_DTW.
 """
 
 from __future__ import annotations
