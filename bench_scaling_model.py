@@ -23,7 +23,7 @@ CPU).  This harness adds what a projection needs:
    compute time for its half of the audio.  Zero overlap is assumed
    (worst case); DCN/ICI bandwidths are stated in the artifact.
 
-Output: SCALING_r04.json (also echoed as JSON lines).
+Output: SCALING_r05.json (also echoed as JSON lines).
 
 Run on fake devices:
   XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
@@ -46,7 +46,7 @@ DCN_BYTES_PER_S = float(os.environ.get("SCALE_DCN_BPS", 1.25e10))
 
 
 def _bench_e2e_rate() -> tuple[float, str]:
-    for name in ("BENCH_r04.json", "BENCH_intra_r04.json", "BENCH_r03.json", "BENCH_r02.json"):
+    for name in ("BENCH_r05.json", "BENCH_intra_r05.json", "BENCH_r04.json", "BENCH_intra_r04.json", "BENCH_r03.json"):
         path = os.path.join(os.path.dirname(__file__), name)
         if os.path.exists(path):
             with open(path) as f:
@@ -96,7 +96,7 @@ def main() -> None:
     t_comp_per_audio_s = 1.0 / rate_1chip      # chip-seconds per audio-second
 
     out = {
-        "metric": "scaling_model_r04",
+        "metric": "scaling_model_r05",
         "single_chip_e2e_audio_s_per_s": rate_1chip,
         "single_chip_source": rate_src,
         "assumed_ici_bytes_per_s": ICI_BYTES_PER_S,
@@ -179,23 +179,32 @@ def main() -> None:
         out["axes"][axis] = row
         print(json.dumps({"axis": axis, **row}))
 
-    # the headline: 2 hosts = DP over DCN (the natural pod layout for a
-    # corpus scan -- zero inter-host collectives in the hot loop)
-    dp = out["axes"]["data"]
-    out["headline_2host_efficiency"] = dp["predicted_2dev_efficiency_dcn"]
+    # Headline: a structured per-axis map, NOT a single scalar (round-4
+    # verdict, weak item 5: a lone 1.0 next to a 0.577 time-axis row
+    # reads as "every split >= 0.8").  The deployment split is stated
+    # explicitly; per_axis_dcn carries every 2-host projection so a
+    # parser cannot miss the below-0.8 axis.
+    per_axis = {
+        a: out["axes"][a]["predicted_2dev_efficiency_dcn"]
+        for a in out["axes"]
+    }
+    out["headline_2host_efficiency"] = {
+        "deployment_split": "data",
+        "deployment_split_efficiency": per_axis["data"],
+        "per_axis_dcn": per_axis,
+        "min_across_axes": min(per_axis.values()),
+    }
     out["headline_claim"] = (
-        ">=80% at 2 hosts holds with margin: the corpus scan is data-"
-        "parallel across hosts (zero hot-loop cross-host collectives; "
-        "only the fixed-size per-batch top-K triples and input rows "
-        "cross DCN), and even the worst-case single-mesh-axis splits "
-        "stay above 80% under the stated DCN bandwidth"
-        if min(a["predicted_2dev_efficiency_dcn"]
-               for a in out["axes"].values()) >= 0.8
-        else "see per-axis rows: at least one 2-way split falls below "
-             "0.8 under the stated DCN bandwidth"
+        "the DEPLOYED 2-host split is data-parallel (zero hot-loop "
+        "cross-host collectives; only fixed-size per-batch top-K "
+        "triples and input rows cross DCN) and projects "
+        f"{per_axis['data']:.3f}; NOT every axis passes -- the worst "
+        f"2-way split ({min(per_axis, key=per_axis.get)}) projects "
+        f"{min(per_axis.values()):.3f} over DCN and belongs on ICI "
+        "within a slice (see docs/DISTRIBUTED.md)"
     )
 
-    with open(os.path.join(os.path.dirname(__file__), "SCALING_r04.json"),
+    with open(os.path.join(os.path.dirname(__file__), "SCALING_r05.json"),
               "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps({"headline": out["headline_2host_efficiency"],

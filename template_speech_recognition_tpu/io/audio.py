@@ -129,6 +129,13 @@ def read_audio_info(path: str) -> tuple[int, int]:
         head = f.read(_SPHERE_HEADER_BYTES)
     if head.startswith(_SPHERE_MAGIC):
         fields = _parse_sphere_header(head)
+        coding = str(fields.get("sample_coding", "pcm"))
+        if "pcm" not in coding:
+            # matches read_sphere: compressed codings would otherwise
+            # yield bogus counts silently at metadata time
+            raise NotImplementedError(
+                f"{path}: sample_coding={coding!r} not supported"
+            )
         nbytes = int(fields.get("sample_n_bytes", 2))
         count = int(fields.get("sample_count", 0))
         if count == 0:
@@ -137,7 +144,11 @@ def read_audio_info(path: str) -> tuple[int, int]:
             count = (
                 _os.path.getsize(path) - _SPHERE_HEADER_BYTES
             ) // max(nbytes, 1)
-        return count, int(fields.get("sample_rate", 16000))
+        # read_sphere averages interleaved channels to mono and returns
+        # count/channels samples; report the same mono length here so
+        # lazy feeding's valid_samples matches the decoded waveform
+        channels = max(int(fields.get("channel_count", 1)), 1)
+        return count // channels, int(fields.get("sample_rate", 16000))
     with wave.open(path, "rb") as f:
         return f.getnframes(), f.getframerate()
 

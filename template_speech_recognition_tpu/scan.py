@@ -247,6 +247,35 @@ def detect_corpus_stream(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("kmax",))
+def _pack_triple(s, t, k, kmax: int):
+    """(s f32, t int32, k int32) [B, K_b] -> one [3, B, kmax] f32 array.
+
+    Times and template ids are exact in float32 (both < 2**24), so the
+    round trip through one packed array is bitwise-lossless; padding
+    columns K_b..kmax are sliced off host-side.  Packing exists so a
+    whole GROUP of batches fetches in ONE device->host transfer: the
+    tunneled PJRT charges a fixed ~tens-of-ms round trip per fetch, and
+    at corpus scale that floor -- not device compute -- binds the scan
+    (round-4 verdict, weak item 3)."""
+    b, kk = s.shape
+    if kk < kmax:
+        pad = kmax - kk
+        s = jnp.concatenate([s, jnp.zeros((b, pad), s.dtype)], axis=1)
+        t = jnp.concatenate([t, jnp.zeros((b, pad), t.dtype)], axis=1)
+        k = jnp.concatenate([k, jnp.zeros((b, pad), k.dtype)], axis=1)
+    return jnp.stack([
+        s.astype(jnp.float32),
+        t.astype(jnp.float32),
+        k.astype(jnp.float32),
+    ])
+
+
+@jax.jit
+def _stack_group(*triples):
+    return jnp.stack(triples)
+
+
 def stream_scan(
     corpus,
     fcfg,
@@ -293,7 +322,9 @@ def stream_scan(
 
     import collections
     import os as _os
+    import sys as _sys
 
+    debug = _os.environ.get("SCAN_DEBUG", "0") == "1"
     stats = StageCounters()
     lazy = (
         local_rows is not None
@@ -311,7 +342,17 @@ def stream_scan(
     # PJRT.  A small window keeps several batches in flight and the
     # async host copies (started at dispatch) land before their drain.
     depth = max(int(_os.environ.get("SCAN_PIPELINE_DEPTH", "3")), 1)
+    # Group-fetch amortization (round-4 verdict, weak item 3): the
+    # fixed-size (s, t, k) triples of SCAN_FETCH_GROUP consecutive
+    # batches are packed into ONE device array (`_pack_triple` /
+    # `_stack_group`) and fetched in one transfer, dividing the
+    # tunnel's fixed per-fetch round trip by the group size.  Bitwise
+    # identical to per-batch fetching (pure pack/unpack).  1 = the
+    # per-batch pipeline (depth-controlled).
+    group_n = max(int(_os.environ.get("SCAN_FETCH_GROUP", "8")), 1)
     inflight = collections.deque()      # (shard_id, gidxs, outputs, on_host)
+    open_grp: list = []                 # grouped mode: flights awaiting pack
+    packed = collections.deque()        # grouped mode: (metas, packed array)
     shard_id = 0
     total_samples = 0
     stats.start("scan")
@@ -338,6 +379,9 @@ def stream_scan(
                 wavs[row, :n] = payload
             elif row in local_rows:
                 wavs[row, :n] = corpus.get_waveform(g)
+        if debug:
+            print(f"[scan] dispatch shard={sid} pad={pad} "
+                  f"gidx={gidxs}", file=_sys.stderr, flush=True)
         out = compute(wavs, vs)
         try:
             # overlap device->host transfers with subsequent batches
@@ -354,6 +398,8 @@ def stream_scan(
         sid, gidxs, out, on_host = flight
         if not on_host:
             out, lens = out
+        if debug:
+            print(f"[scan] drain shard={sid}", file=_sys.stderr, flush=True)
         s, t, k = (fetch(a) for a in out)
         if manifest is not None and not on_host:
             manifest.record(
@@ -365,12 +411,87 @@ def stream_scan(
         for row, g in enumerate(gidxs):
             results[g] = (s[row], t[row], k[row])
 
+    def _flush_group():
+        """Pack the open group's device triples into one array and
+        start its async device->host copy."""
+        if not open_grp:
+            return
+        kmax = max(int(f[2][0][0].shape[1]) for f in open_grp)
+        padded = [
+            _pack_triple(f[2][0][0], f[2][0][1], f[2][0][2], kmax=kmax)
+            for f in open_grp
+        ]
+        arr = _stack_group(*padded)
+        try:
+            arr.copy_to_host_async()
+        except (AttributeError, TypeError):
+            pass                        # non-jax outputs (tests/mocks)
+        metas = [
+            (f[0], f[1], f[2][1], int(f[2][0][0].shape[1]))
+            for f in open_grp
+        ]
+        packed.append((metas, arr))
+        open_grp.clear()
+
+    def drain_group(grp):
+        metas, arr = grp
+        if debug:
+            print(f"[scan] drain group shards={[m[0] for m in metas]}",
+                  file=_sys.stderr, flush=True)
+        a = fetch(arr)                  # [n, 3, B, kmax]
+        for i, (sid, gidxs, lens, kb) in enumerate(metas):
+            s = np.asarray(a[i, 0, :, :kb], np.float32)
+            t = np.asarray(a[i, 1, :, :kb]).astype(np.int32)
+            k = np.asarray(a[i, 2, :, :kb]).astype(np.int32)
+            if manifest is not None:
+                manifest.record(
+                    sid,
+                    {"s": s, "t": t, "k": k,
+                     "gidx": np.asarray(gidxs, np.int64),
+                     "ns": np.asarray(lens, np.int64)},
+                )
+            for row, g in enumerate(gidxs):
+                results[g] = (s[row], t[row], k[row])
+
+    def submit(flight):
+        if group_n == 1:
+            inflight.append(flight)
+            while len(inflight) > depth:
+                drain(inflight.popleft())
+            return
+        if flight[3]:                   # manifest-loaded: already host data
+            drain(flight)
+            return
+        open_grp.append(flight)
+        if len(open_grp) == group_n:
+            _flush_group()
+            while len(packed) > 1:      # one packed group stays in flight
+                drain_group(packed.popleft())
+
+    def finish():
+        if group_n == 1:
+            while inflight:
+                drain(inflight.popleft())
+            return
+        _flush_group()
+        while packed:
+            drain_group(packed.popleft())
+
     def _drain_all_surviving():
         """On a mid-scan failure, record the batches that already
         completed (the manifest's whole point) before propagating."""
         while inflight:
             try:
                 drain(inflight.popleft())
+            except Exception:
+                break
+        try:
+            _flush_group()
+        except Exception:
+            open_grp.clear()
+        while packed:
+            try:
+                drain_group(packed.popleft())
             except Exception:
                 break
 
@@ -397,19 +518,14 @@ def stream_scan(
           pad = bucket_length(nf)
           pending.setdefault(pad, []).append((gidx, payload))
           if len(pending[pad]) == batch_size:
-              inflight.append(flush(shard_id, pending.pop(pad), pad))
+              submit(flush(shard_id, pending.pop(pad), pad))
               shard_id += 1
-              while len(inflight) > depth:
-                  drain(inflight.popleft())
         # Partial tail batches, one per bucket (rows past the tail stay
         # zero -> valid 0 -> all--inf detections, dropped by DetectionSet).
         for pad in sorted(pending):
-          inflight.append(flush(shard_id, pending[pad], pad))
+          submit(flush(shard_id, pending[pad], pad))
           shard_id += 1
-          while len(inflight) > depth:
-              drain(inflight.popleft())
-        while inflight:
-          drain(inflight.popleft())
+        finish()
     except BaseException:
         _drain_all_surviving()
         raise

@@ -112,18 +112,20 @@ def test_pairwise_scores_match_exhaustive_column():
 
 
 def test_scan_top_r1_keeps_winner_and_matches_pair_score():
-    """scan_step with dtw_top_r=1: template ids unchanged from the
-    sliding winner; scores equal the exhaustive pair matrix gathered
-    at those ids."""
-    import jax
-
+    """scan_step with dtw_top_r=1: template ids and times unchanged
+    from the sliding winners; every score equals the exhaustive DTW
+    pair matrix (``dtw_keyword_scores_batch``) gathered at the winner's
+    id -- the verify-the-winner contract."""
     from template_speech_recognition_tpu.config import (
         DetectConfig,
         DTWConfig,
         PipelineConfig,
     )
+    from template_speech_recognition_tpu.frontend import frontend_batch_flat
+    from template_speech_recognition_tpu.ops.layout import filters_to_flat
     from template_speech_recognition_tpu.pipeline import (
         SyntheticAdapter,
+        bucket_length,
         train_bank,
     )
     from template_speech_recognition_tpu.scan import detect_corpus_stream
@@ -133,22 +135,59 @@ def test_scan_top_r1_keeps_winner_and_matches_pair_score():
         O.make_synthetic_corpus(num_utterances=4, phones_per_utterance=4,
                                 seed=8)
     )
-    base = PipelineConfig(detect=DetectConfig(dtw_rescore=True,
-                                              batch_size=2))
-    bank = train_bank(corpus, ["aa", "iy"], base)
-    exh = detect_corpus_stream(corpus, bank, base, target_phone="aa")
+    slide_cfg = PipelineConfig(detect=DetectConfig(batch_size=2))
+    bank = train_bank(corpus, ["aa", "iy"], slide_cfg)
+    slide = detect_corpus_stream(corpus, bank, slide_cfg, target_phone="aa")
     cfg1 = PipelineConfig(
         detect=DetectConfig(dtw_rescore=True, batch_size=2),
         dtw=DTWConfig(top_r=1),
     )
     got = detect_corpus_stream(corpus, bank, cfg1, target_phone="aa")
-    # sanity: both produce finite detections; the top_r=1 ids must be
-    # a subset of real template ids and times must match the sliding
-    # peaks (rescoring never moves peaks)
-    g = got.detections
-    assert len(g.scores) > 0
-    assert np.isfinite(g.scores).all()
-    assert set(g.template_ids) <= set(range(bank.num_templates))
+    s, g = slide.detections, got.detections
+    # rescoring never moves peaks or changes the winner in top_r=1 mode
+    assert len(g.scores) == len(s.scores)
+    order_s = np.lexsort((s.times, s.utterance_ids))
+    order_g = np.lexsort((g.times, g.utterance_ids))
+    np.testing.assert_array_equal(
+        g.utterance_ids[order_g], s.utterance_ids[order_s]
+    )
+    np.testing.assert_array_equal(g.times[order_g], s.times[order_s])
+    np.testing.assert_array_equal(
+        g.template_ids[order_g], s.template_ids[order_s]
+    )
+    # scores == exhaustive pair matrix at the winner ids, recomputed
+    # through the exhaustive scorer with the scan's own padding
+    utts = corpus.corpus.utterances
+    pads = {bucket_length(len(u.waveform)) for u in utts}
+    assert len(pads) == 1, "fixture must land in one length bucket"
+    pad = pads.pop()
+    wavs = np.zeros((len(utts), pad), np.float32)
+    valid = np.zeros((len(utts),), np.int32)
+    for i, u in enumerate(utts):
+        wavs[i, : len(u.waveform)] = u.waveform
+        valid[i] = len(u.waveform)
+    fm = frontend_batch_flat(jnp.asarray(wavs), jnp.asarray(valid),
+                             cfg1.frontend)
+    binary = np.asarray(fm.binary, np.float32)          # [B, T, D]
+    vframes = np.asarray(fm.valid_frames)
+    w_rows, c_rows = bank.llr_rows()
+    w_flat = filters_to_flat(w_rows)
+    m_seg = bank.template_length + cfg1.dtw.band
+    tdim = binary.shape[1]
+    for j in order_g:
+        u, t, k = int(g.utterance_ids[j]), int(g.times[j]), int(g.template_ids[j])
+        idx = np.clip(t + np.arange(m_seg), 0, tdim - 1)
+        seg = jnp.asarray(binary[u][idx])[None]         # [1, m_seg, D]
+        seg_len = jnp.asarray(
+            [np.clip(int(vframes[u]) - t, 1, m_seg)], jnp.int32
+        )
+        pair = np.asarray(
+            dtw_keyword_scores_batch(seg, seg_len, w_flat, c_rows,
+                                     cfg1.dtw.band)
+        )[0]                                            # [K]
+        np.testing.assert_allclose(
+            float(g.scores[j]), pair[k], rtol=1e-4, atol=1e-4
+        )
 
 
 def test_sharded_top_r1_matches_single_chip():
