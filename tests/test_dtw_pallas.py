@@ -72,9 +72,42 @@ def test_single_column_segments():
 
 
 def test_rejects_indivisible_batch():
+    # the unpacked layouts still require block_pairs | n ...
     cost, lens = _case(n=12)
     with pytest.raises(ValueError):
-        banded_dtw_pallas(cost, lens, 6, block_pairs=8, interpret=True)
+        banded_dtw_pallas(cost, lens, 6, block_pairs=8, interpret=True,
+                          layout="full")
+    # ... while the packed layout pads internally: any N works
+    got = np.asarray(banded_dtw_pallas(cost, lens, 6, interpret=True))
+    assert got.shape == (12,)
+
+
+@pytest.mark.parametrize("n,length,m,lo", [(12, 32, 64, 20), (5, 9, 20, 6)])
+def test_packed_layout_matches_full(n, length, m, lo):
+    """Lane-packed kernel == unpacked full layout == scan, including
+    odd pair counts and the L=9 real-bank row length (pack=8)."""
+    cost, lens = _case(n=n, length=length, m=m, lo=lo)
+    got = np.asarray(
+        banded_dtw_pallas(cost, lens, 4, interpret=True, layout="packed")
+    )
+    n_full = ((n + 7) // 8) * 8
+    cost_f = jnp.concatenate(
+        [cost, jnp.broadcast_to(cost[:1], (n_full - n,) + cost.shape[1:])]
+    ) if n_full != n else cost
+    lens_f = jnp.concatenate(
+        [lens, jnp.ones(n_full - n, jnp.int32)]
+    ) if n_full != n else lens
+    full = np.asarray(
+        banded_dtw_pallas(cost_f, lens_f, 4, interpret=True, layout="full")
+    )[:n]
+    np.testing.assert_allclose(got, full, rtol=1e-6, atol=1e-6)
+    want = np.asarray(
+        jax.vmap(lambda c, ln: banded_dtw.__wrapped__(c, ln, 4))(cost, lens)
+    )
+    finite = np.isfinite(want)
+    np.testing.assert_allclose(got[finite], want[finite], rtol=1e-5,
+                               atol=1e-5)
+    assert np.all(got[~finite] > 1e38)
 
 
 def test_long_segment_chunked_wavefront():
