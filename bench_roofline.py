@@ -12,7 +12,7 @@ Kernel classes covered:
   frontend     fused waveform -> binary edge map (plane-major path)
   dtw          band-compressed wavefront DTW (ops.dtw_pallas)
 
-Writes ``ROOFLINE_r04.json``: one row per kernel with {measured_s,
+Writes ``ROOFLINE_r05.json``: one row per kernel with {measured_s,
 compute_s, memory_s, roofline_s, bound, roofline_frac} plus the
 workload shape, and an ``explanations`` entry for any kernel below
 ~50% of its binding roofline.
@@ -289,9 +289,9 @@ def main() -> None:
             "the exact-f32 DFT GEMM -- not HBM traffic"
         ),
         "dtw": (
-            "HBM-stream-bound on the skewed band tensor; sequential "
-            "anti-diagonal DP leaves the VPU idle between grid steps "
-            "at small band widths.  Its weight in production is the "
+            "lane-packed wavefront (round 5): 128//lp pairs per VPU "
+            "register quadruple DP cells per op at L=32 vs the round-4 "
+            "full layout.  Its weight in production is the "
             "dtw_e2e_share row: the measured fraction of the full "
             "scan step that enabling --dtw-rescore adds at the bench "
             "shape and default peak budget: exhaustive rescoring "
@@ -301,7 +301,7 @@ def main() -> None:
         ),
     }
     out = {
-        "round": 4,
+        "round": 5,
         "device": str(jax.devices()[0]),
         "timing": "slope method (see bench.py docstring)",
         "note": (
@@ -316,7 +316,7 @@ def main() -> None:
             if name in explanations and row.get("roofline_frac", 0) < 0.5
         },
     }
-    with open("ROOFLINE_r04.json", "w") as fh:
+    with open("ROOFLINE_r05.json", "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps({k2: round(v["roofline_frac"], 3)
                       for k2, v in rows.items()

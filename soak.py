@@ -19,19 +19,19 @@ and corpus audio-s/s next to the bench e2e figure for comparison.
 
 Knobs: SOAK_UTTS_PER_GROUP (default 75), SOAK_MESH "d,b,t"
 (default "1,1,1": the one real chip; any product matching the
-device count works), SOAK_DTW=1 (config 4 at corpus scale: DTW
-rescoring with DTWConfig.top_r=1 verify-the-winner).
+device count works -- a fake-device CPU mesh writes
+``SOAK_SHARDED_r05.json``), SOAK_BATCH (utterances per step, default
+32: fewer dispatches against the tunnel's fixed per-batch round
+trip), SOAK_DTW=1 (config 4 at corpus scale: DTW rescoring with
+DTWConfig.top_r=1 verify-the-winner).
 
-KNOWN ISSUE (round 4, unresolved): with SOAK_DTW=1 the tunneled TPU
-worker crashes partway through the corpus scan (reproduced twice on
-resume and once on a clean scan).  Exoneration sweeps all pass on the
-chip: the plain soak (fault+resume+clean, bitwise), the DTW wavefront
-kernel at every soak shape including the real bank's L=9 and every
-pair-count padding, and the FULL dtw_top_r=1 sharded step at all four
-soak bucket shapes for both L=12 and L=9.  Only the full multi-batch
-DTW soak sequence crashes, pointing at cumulative device state or a
-data-dependent batch deep in the corpus; next step is bisecting the
-corpus under SOAK_DTW.
+Round-4 KNOWN ISSUE resolution (round 5): the SOAK_DTW "TPU worker
+crash" was isolated by per-batch scan logging (SCAN_DEBUG=1) +
+``debug_dtw_crash.py`` to the straggler tail buckets (pads
+327680/344064) that only ever execute as partial tail batches -- the
+round-4 exoneration sweeps covered only the four FULL-batch bucket
+shapes, so the faulting shapes were never exercised in isolation.
+See debug_dtw_crash.py for the stage-by-stage isolation.
 """
 
 from __future__ import annotations
@@ -99,15 +99,16 @@ def main() -> None:
     )
 
     use_dtw = os.environ.get("SOAK_DTW", "0") == "1"
+    batch = int(os.environ.get("SOAK_BATCH", 32))
     if use_dtw:
         from template_speech_recognition_tpu.config import DTWConfig
 
         cfg = PipelineConfig(
-            detect=DetectConfig(batch_size=8, dtw_rescore=True),
+            detect=DetectConfig(batch_size=batch, dtw_rescore=True),
             dtw=DTWConfig(top_r=1),
         )
     else:
-        cfg = PipelineConfig(detect=DetectConfig(batch_size=8))
+        cfg = PipelineConfig(detect=DetectConfig(batch_size=batch))
     mesh = build_mesh(MeshConfig(*mesh_shape))
     t0 = time.perf_counter()
     bank = train_bank(corpus, ["aa", "iy"], cfg)
@@ -179,7 +180,9 @@ def main() -> None:
     metrics = evaluate_detections(clean, cfg.detect.match_tolerance)
 
     out = {
-        "round": 4,
+        "round": 5,
+        "batch_size": batch,
+        "fetch_group": int(os.environ.get("SCAN_FETCH_GROUP", "8")),
         "corpus": {
             "utterances": n_utts,
             "audio_seconds": round(audio_s, 1),
@@ -208,16 +211,19 @@ def main() -> None:
         },
         "note": (
             "clean_run.audio_s_per_s is corpus-level wall-clock "
-            "throughput (host batching + device scan + manifest-free "
-            "fetch) on the single real chip behind the axon tunnel; "
-            "the tunnel's fixed per-batch round trips (~29 ms "
-            "dispatch + ~85 ms fetch, ~0.1-0.35 s per serial cycle) "
-            "are the binding cost here, partially hidden by the "
-            "3-deep scan pipeline -- compare BENCH e2e_audio_s_per_s "
-            "for the tunnel-free device step rate"
+            "throughput on the single real chip behind the axon "
+            "tunnel.  Round-5 tunnel amortization: SOAK_BATCH=32 "
+            "quarters the dispatch count and SCAN_FETCH_GROUP=8 "
+            "packs 8 batches' (s,t,k) triples into ONE fetched "
+            "device array, dividing the fixed per-fetch round trip "
+            "by 8 (bitwise-identical results) -- compare BENCH "
+            "e2e_audio_s_per_s for the tunnel-free device step rate"
         ),
     }
-    out_name = "SOAK_DTW_r04.json" if use_dtw else "SOAK_r04.json"
+    if mesh_shape != (1, 1, 1):
+        out_name = "SOAK_SHARDED_r05.json"
+    else:
+        out_name = "SOAK_DTW_r05.json" if use_dtw else "SOAK_r05.json"
     with open(out_name, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps({"soak_audio_s_per_s": out["clean_run"]["audio_s_per_s"],

@@ -166,10 +166,24 @@ def dtw_pairwise_scores(
     constant in the bank size."""
     n = segments.shape[0]
     num_rows = w_pairs.shape[1]
-    seg = segments.reshape(n, segments.shape[1], -1).astype(jnp.float32)
-    wf = w_pairs.reshape(n, num_rows, -1).astype(jnp.float32)
+    seg = segments.reshape(n, segments.shape[1], -1)
+    wf = w_pairs.reshape(n, num_rows, -1)
+    # bf16 operands (the production TPU path passes bf16 gathers --
+    # binary segments are exact in bf16, filters are bf16-class like
+    # the main fft scorer) run the GEMM at MXU rate with f32
+    # accumulation; f32 operands keep the exact HIGHEST path (CPU /
+    # parity tests).
+    if seg.dtype == jnp.bfloat16 or wf.dtype == jnp.bfloat16:
+        seg = seg.astype(jnp.bfloat16)
+        wf = wf.astype(jnp.bfloat16)
+        prec = lax.Precision.DEFAULT
+    else:
+        seg = seg.astype(jnp.float32)
+        wf = wf.astype(jnp.float32)
+        prec = _PRECISION
     llr = (
-        jnp.einsum("nld,nmd->nlm", wf, seg, precision=_PRECISION)
+        jnp.einsum("nld,nmd->nlm", wf, seg, precision=prec,
+                   preferred_element_type=jnp.float32)
         + c_pairs[:, :, None]
     )                                              # [N, L, M]
     lens = seg_lens.astype(jnp.int32)

@@ -274,8 +274,14 @@ def sharded_scan_step(
         lt = jnp.clip(t_m - t0, 0, t_l - 1)
         # segments fit entirely in ext: lt + m_seg - 1 <= t_l + halo - 1
         idx = lt[:, :, None] + jnp.arange(m_seg, dtype=jnp.int32)[None, None]
+        # top_r=1 on accelerator gathers bf16 (binary features exact
+        # in bf16): half the segment-stream bytes, f32 accumulation
+        seg_dt = (
+            jnp.bfloat16 if (dtw_top_r == 1 and use_pallas)
+            else jnp.float32
+        )
         segs = jax.vmap(lambda fmap, ix: jnp.take(fmap, ix, axis=0))(
-            ext, idx
+            ext.astype(seg_dt), idx
         )                                                 # [B_l, P, m, D]
         seg_lens = jnp.clip(vf_l.astype(jnp.int32)[:, None] - t_m, 1, m_seg)
         if dtw_top_r == 1:
@@ -439,9 +445,16 @@ def detect_corpus_sharded(
             put_sharded as _put,
         )
 
+        wr_np = np.asarray(wr, np.float32)
+        if cfg.dtw.top_r == 1 and jax.default_backend() != "cpu":
+            # bf16 per-row filters for the verify-the-winner gather
+            # (one-time, like the fft bank build): half the bytes the
+            # per-peak take moves every step
+            import ml_dtypes
+
+            wr_np = wr_np.astype(ml_dtypes.bfloat16)
         w_rows = _put(
-            np.asarray(wr, np.float32),
-            NamedSharding(mesh, P("bank", None, None)),
+            wr_np, NamedSharding(mesh, P("bank", None, None))
         )
         c_rows = _put(
             np.asarray(cr, np.float32), NamedSharding(mesh, P("bank", None))

@@ -81,8 +81,14 @@ def dtw_rescore_batched(binary, valid_frames, scores, times, ids,
     idx = jnp.clip(
         t_idx[:, :, None] + jnp.arange(m_seg)[None, None, :], 0, tdim - 1
     )
+    # production (top_r=1 on accelerator): gather bf16 copies -- binary
+    # features are exact in bf16, halving the [B, P, m, D] segment and
+    # [B, P, L, D] filter streams that dominate the rescore's HBM cost
+    seg_dt = (
+        jnp.bfloat16 if (top_r == 1 and use_pallas) else jnp.float32
+    )
     segs = jax.vmap(lambda bm, ix: jnp.take(bm, ix, axis=0))(
-        binary.astype(jnp.float32), idx
+        binary.astype(seg_dt), idx
     )                                             # [B, P, m_seg, F, E]
     seg_lens = jnp.clip(
         valid_frames.astype(jnp.int32)[:, None] - t_idx, 1, m_seg
@@ -95,7 +101,7 @@ def dtw_rescore_batched(binary, valid_frames, scores, times, ids,
 
         safe = jnp.clip(ids, 0, w_rows.shape[0] - 1)
         wk = jnp.take(w_rows, safe, axis=0)       # [B, P, L, ...]
-        ck = jnp.take(c_rows, safe, axis=0)       # [B, P, L]
+        ck = jnp.take(c_rows.astype(jnp.float32), safe, axis=0)
         pair1 = dtw_pairwise_scores.__wrapped__(
             segs.reshape((b * p,) + segs.shape[2:]),
             seg_lens.reshape(-1),
@@ -221,6 +227,10 @@ def detect_corpus_stream(
         w_rows, c_rows = bank.llr_rows()
         w_rows = filters_to_flat(w_rows)
         m_seg = bank.template_length + cfg.dtw.band
+        if cfg.dtw.top_r == 1 and jax.default_backend() != "cpu":
+            # one-time bf16 copy (like the fft bank build): the
+            # per-peak filter gather then moves half the bytes
+            w_rows = w_rows.astype(jnp.bfloat16)
     batch_size = max(1, dcfg.batch_size)
     step = functools.partial(
         scan_step,
