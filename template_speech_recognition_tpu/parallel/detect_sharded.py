@@ -558,4 +558,5 @@ def detect_corpus_sharded(
         batch_counter_fn=coll_bytes,
         fetch=fetch_global,
         local_rows=local_rows,
+        batch_quantum=n_data,
     )

@@ -382,14 +382,92 @@ def check_frontend_flat_oracle() -> dict:
             "binary_agreement": agree}
 
 
+def check_dtw_packed_layouts() -> dict:
+    """Round-5 lane-packed DTW layout vs the unpacked full layout and
+    the oracle, compiled, at the real-bank row length L=9 (pack=8) and
+    an odd pair count (internal padding path)."""
+    import jax.numpy as jnp
+    from oracle.dtw import banded_dtw as oracle_dtw
+    from template_speech_recognition_tpu.ops.dtw_pallas import (
+        banded_dtw_pallas,
+    )
+
+    rng = np.random.default_rng(11)
+    n, length, m, band = 13, 9, 20, 4
+    cost = (rng.standard_normal((n, length, m)) + 2.0).astype(np.float32)
+    lens = rng.integers(6, m + 1, size=n).astype(np.int32)
+    got = np.asarray(
+        banded_dtw_pallas(jnp.asarray(cost), jnp.asarray(lens), band,
+                          layout="packed")
+    )
+    n_full = ((n + 7) // 8) * 8
+    cost_f = np.concatenate(
+        [cost, np.broadcast_to(cost[:1], (n_full - n,) + cost.shape[1:])]
+    )
+    lens_f = np.concatenate([lens, np.ones(n_full - n, np.int32)])
+    full = np.asarray(
+        banded_dtw_pallas(jnp.asarray(cost_f), jnp.asarray(lens_f), band,
+                          layout="full")
+    )[:n]
+    want = np.array(
+        [oracle_dtw(cost[i, :, : lens[i]], band) for i in range(n)],
+        dtype=np.float32,
+    )
+    finite = np.isfinite(want)
+    ok = bool(
+        np.allclose(got[finite], full[finite], rtol=1e-6, atol=1e-6)
+        and np.allclose(got[finite], want[finite], rtol=1e-4, atol=1e-4)
+        and np.all(got[~finite] > 1e38)
+    )
+    err = (
+        float(np.max(np.abs(got[finite] - want[finite])))
+        if finite.any() else 0.0
+    )
+    return {"kernel": "dtw_packed_layout", "ok": ok, "max_abs_err": err,
+            "pack": 128 // 16}
+
+
+def check_int8_binmm() -> dict:
+    """int8-spectra scoring (round 5): quantized path within
+    quantization tolerance of the f32 reference, winning template
+    agreement high."""
+    import jax.numpy as jnp
+    from template_speech_recognition_tpu.detect.fft_scorer import (
+        build_fft_bank,
+        fft_sliding_scores,
+    )
+
+    rng = np.random.default_rng(12)
+    b, t, k, length, f, e = 2, 200, 128, 16, 16, 8
+    feats = (rng.random((b, t, f, e)) < 0.2).astype(np.float32)
+    w = rng.normal(size=(k, length, f, e)).astype(np.float32)
+    c = rng.normal(size=(k,)).astype(np.float32)
+    bank8 = build_fft_bank(jnp.asarray(w), jnp.asarray(c),
+                           mm_dtype=jnp.int8)
+    bank32 = build_fft_bank(jnp.asarray(w), jnp.asarray(c),
+                            mm_dtype=jnp.float32)
+    got = np.asarray(fft_sliding_scores(jnp.asarray(feats), bank8))
+    ref = np.asarray(
+        fft_sliding_scores(jnp.asarray(feats), bank32, use_pallas=False)
+    )
+    err = _scaled_err(got, ref)
+    agree = float((got.argmax(axis=1) == ref.argmax(axis=1)).mean())
+    return {
+        "kernel": "fft_binmm_int8", "ok": bool(err < 4e-2 and agree > 0.9),
+        "scaled_err_vs_f32": err, "argmax_agreement": agree,
+    }
+
+
 CHECKS = [
     check_frontend_fused,
     check_frontend_mel_fused,
     check_edge_responses,
     check_correlation,
     check_dtw,
+    check_dtw_packed_layouts,
     check_fft_fused_4d,
     check_fft_binmm_3d,
+    check_int8_binmm,
     check_int32_bit_parity,
     check_radix_counts,
     check_binspread_kernel,
