@@ -38,30 +38,31 @@ def main() -> None:
 
     out = {"round": 5}
 
-    # -- upload bandwidth ---------------------------------------------
+    # -- upload bandwidth (slope method: block_until_ready returns
+    # early on this tunnel, so each timing forces a data-dependent
+    # scalar readback; the fixed ~30 ms sync cancels in the slope) ----
+    @jax.jit
+    def consume(a):
+        return jnp.sum(a[:: max(a.shape[0] // 64, 1)])
+
     uploads = {}
-    for mb in (1, 8, 32, 64):
+    t_at = {}
+    for mb in (8, 64):
         n = mb * 1024 * 1024 // 4
         host = np.random.default_rng(0).standard_normal(n).astype(np.float32)
-        # warm
-        a = jax.device_put(host)
-        a.block_until_ready()
+        float(consume(jax.device_put(host)))          # warm compile
         times = []
-        for i in range(5):
-            host[i] = i  # defeat any caching by content
+        for i in range(6):
+            host[i] = i
             t0 = time.perf_counter()
-            a = jax.device_put(host)
-            a.block_until_ready()
+            float(consume(jax.device_put(host)))
             times.append(time.perf_counter() - t0)
-        dt = float(np.min(times))
-        uploads[f"{mb}MB"] = {
-            "s": round(dt, 4),
-            "mb_per_s": round(mb / dt, 1),
-        }
-        print(f"[tunnel] upload {mb}MB: {mb/dt:.1f} MB/s",
-              file=sys.stderr)
+        t_at[mb] = float(np.min(times))
+        uploads[f"{mb}MB_synced_s"] = round(t_at[mb], 4)
+    bw = (64 - 8) * 1e6 / max(t_at[64] - t_at[8], 1e-6)
+    uploads["slope_mb_per_s"] = round(bw / 1e6, 1)
+    print(f"[tunnel] upload slope: {bw/1e6:.1f} MB/s", file=sys.stderr)
     out["upload"] = uploads
-    bw = uploads["64MB"]["mb_per_s"] * 1e6
 
     # -- dispatch round trip ------------------------------------------
     x = jnp.zeros((8, 8), jnp.float32)
@@ -84,15 +85,31 @@ def main() -> None:
         times.append(time.perf_counter() - t0)
     out["dispatch_plus_fetch_ms"] = round(float(np.min(times)) * 1e3, 2)
 
-    # -- fetch round trip at triple-like sizes ------------------------
-    big = jax.device_put(np.zeros((8, 3, 32, 128), np.float32))
-    big.block_until_ready()
-    times = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        np.asarray(big)
-        times.append(time.perf_counter() - t0)
-    out["fetch_48KB_ms"] = round(float(np.min(times)) * 1e3, 2)
+    # -- fetch: slope over result sizes (fresh arrays each time so
+    # jax's host-value cache cannot serve the read) --------------------
+    t_f = {}
+    for mb in (1, 16):
+        n = mb * 1024 * 1024 // 4
+
+        @jax.jit
+        def g(a, n=n):
+            return jnp.broadcast_to(a, (n,)) + a
+
+        times = []
+        for i in range(6):
+            y = g(jnp.float32(i))
+            t0 = time.perf_counter()
+            np.asarray(y)
+            times.append(time.perf_counter() - t0)
+        t_f[mb] = float(np.min(times))
+    fetch_bw = (16 - 1) * 1e6 / max(t_f[16] - t_f[1], 1e-6)
+    out["fetch"] = {
+        "1MB_s": round(t_f[1], 4),
+        "16MB_s": round(t_f[16], 4),
+        "slope_mb_per_s": round(fetch_bw / 1e6, 1),
+    }
+    print(f"[tunnel] fetch slope: {fetch_bw/1e6:.1f} MB/s",
+          file=sys.stderr)
 
     # -- implied corpus ceiling ---------------------------------------
     corpus_audio_s = 3623.9
@@ -104,17 +121,19 @@ def main() -> None:
         "upload_bound_s": round(t_upload, 2),
         "audio_s_per_s_ceiling": round(corpus_audio_s / t_upload, 1),
         "note": (
-            "the waveform upload stream alone bounds the tunneled "
-            "corpus scan; device compute for the whole corpus is "
-            "~0.1 s (BENCH e2e).  On a pod with local hosts this "
-            "cost does not exist -- hosts feed their own chips over "
-            "PCIe at GB/s (parallel/feeding.py places per-host rows)"
+            "ceiling from the waveform-upload stream alone; the "
+            "measured ~30 ms fixed cost per SYNCED round trip "
+            "(dispatch_plus_fetch_ms) adds per fetch-group, which "
+            "the scan's group packing amortizes.  On a pod with "
+            "local hosts neither cost exists -- hosts feed their own "
+            "chips over PCIe (parallel/feeding.py places per-host "
+            "rows)"
         ),
     }
     with open("TUNNEL_r05.json", "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps({
-        "upload_mb_per_s": uploads["64MB"]["mb_per_s"],
+        "upload_mb_per_s": uploads["slope_mb_per_s"],
         "dispatch_async_ms": out["dispatch_async_ms"],
         "soak_audio_s_per_s_ceiling":
         out["soak_ceiling"]["audio_s_per_s_ceiling"],

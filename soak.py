@@ -115,6 +115,20 @@ def main() -> None:
     print(f"[soak] bank trained {time.perf_counter()-t0:.1f}s",
           file=sys.stderr)
 
+    if os.environ.get("SOAK_CLEAN", "0") == "1":
+        # profiling mode: one clean scan, timed, no artifact
+        t0 = time.perf_counter()
+        clean = ds.detect_corpus_sharded(corpus, bank, cfg, mesh,
+                                         target_phone="aa")
+        t_clean = time.perf_counter() - t0
+        print(json.dumps({
+            "clean_audio_s_per_s": round(audio_s / t_clean, 1),
+            "wall_s": round(t_clean, 1),
+        }))
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
+
     mdir = "/tmp/soak_r03_manifest"
     shutil.rmtree(mdir, ignore_errors=True)
 

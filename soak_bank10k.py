@@ -1,0 +1,189 @@
+"""Config-5 composed at spec scale in ONE run (round-4 verdict,
+missing item 2 / next item 3; BASELINE.json:11): a K=10,000 template
+bank scored through the STREAMING SHARDED SCAN over the ~1 h soak
+corpus, as one execution -- not three separate proofs.
+
+Two modes:
+
+* real chip (default): mesh 1x1x1, full soak corpus, K=10k bank
+  (the 2 trained per-phone templates inflated with deterministic
+  perturbations to 10,000), clean sharded scan; records corpus
+  audio-s/s, detections, and the device HBM high-water mark.
+* SOAK_FAKE=1 (CPU, 8 fake devices): the same K=10k composition on a
+  2x2x2 mesh over a reduced corpus, asserted against the single-chip
+  streaming scan (times/ids identical, scores allclose -- the
+  established cross-sharding contract).
+
+Writes SOAK_BANK10K_r05.json (chip) / merges a "fake_mesh" section
+(fake run).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+from bench import _enable_compile_cache
+from soak import build_corpus
+
+
+def inflate_bank(bank, k_total: int, seed: int = 0):
+    """Deterministically inflate a trained bank to ``k_total``
+    templates: each extra template is a clipped perturbation of a
+    trained one (a stand-in for 10k distinct keyword templates with
+    the same shapes and dynamic range)."""
+    import jax.numpy as jnp
+    from template_speech_recognition_tpu.models.bank import TemplateBank
+
+    base = np.asarray(bank.templates, np.float32)       # [K0, L, F, E]
+    k0 = base.shape[0]
+    rng = np.random.default_rng(seed)
+    reps = -(-k_total // k0)
+    tiled = np.tile(base, (reps, 1, 1, 1))[:k_total]
+    noise = rng.normal(0.0, 0.05, tiled.shape).astype(np.float32)
+    tpl = np.clip(tiled + noise, 0.01, 0.99)
+    labels = [f"kw{i:05d}" for i in range(k_total)]
+    return TemplateBank(
+        jnp.asarray(tpl), bank.background, labels, bank.parts
+    )
+
+
+def main() -> None:
+    _enable_compile_cache()
+    import jax
+
+    from template_speech_recognition_tpu.config import (
+        DetectConfig,
+        MeshConfig,
+        PipelineConfig,
+    )
+    from template_speech_recognition_tpu.parallel import build_mesh
+    from template_speech_recognition_tpu.parallel.detect_sharded import (
+        detect_corpus_sharded,
+    )
+    from template_speech_recognition_tpu.pipeline import train_bank
+
+    fake = os.environ.get("SOAK_FAKE", "0") == "1"
+    k_total = int(os.environ.get("SOAK_BANK_K", 10000))
+    upg = int(os.environ.get(
+        "SOAK_UTTS_PER_GROUP", "2" if fake else "75"
+    ))
+    batch = int(os.environ.get("SOAK_BATCH", "4" if fake else "8"))
+
+    corpus = build_corpus(upg)
+    n_utts = len(corpus.corpus.utterances)
+    audio_s = sum(
+        len(u.waveform) for u in corpus.corpus.utterances
+    ) / 16000.0
+    print(f"[bank10k-soak] corpus {n_utts} utts {audio_s/60:.1f} min; "
+          f"K={k_total}", file=sys.stderr, flush=True)
+
+    cfg = PipelineConfig(detect=DetectConfig(batch_size=batch))
+    t0 = time.perf_counter()
+    bank = train_bank(corpus, ["aa", "iy"], cfg)
+    bank = inflate_bank(bank, k_total)
+    print(f"[bank10k-soak] bank built {time.perf_counter()-t0:.1f}s "
+          f"(K={bank.num_templates}, L={bank.template_length})",
+          file=sys.stderr, flush=True)
+
+    path = "SOAK_BANK10K_r05.json"
+    prev = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            prev = json.load(fh)
+
+    if fake:
+        from template_speech_recognition_tpu.scan import (
+            detect_corpus_stream,
+        )
+
+        ref = detect_corpus_stream(corpus, bank, cfg, target_phone="aa")
+        mesh = build_mesh(MeshConfig(2, 2, 2))
+        got = detect_corpus_sharded(corpus, bank, cfg, mesh,
+                                    target_phone="aa")
+        r, g = ref.detections, got.detections
+        order_r = np.lexsort((r.times, r.utterance_ids))
+        order_g = np.lexsort((g.times, g.utterance_ids))
+        assert len(g.scores) == len(r.scores)
+        np.testing.assert_array_equal(g.times[order_g], r.times[order_r])
+        np.testing.assert_array_equal(
+            g.template_ids[order_g], r.template_ids[order_r]
+        )
+        np.testing.assert_allclose(
+            g.scores[order_g], r.scores[order_r], rtol=1e-4, atol=1e-3
+        )
+        prev.setdefault("round", 5)
+        prev["fake_mesh"] = {
+            "mesh": [2, 2, 2],
+            "bank_k": k_total,
+            "corpus_utterances": n_utts,
+            "detections": int(len(g.scores)),
+            "matches_single_chip": True,
+            "contract": "times/ids identical, scores allclose "
+                        "(cross-sharding contract, docs/DISTRIBUTED.md)",
+        }
+        with open(path, "w") as fh:
+            json.dump(prev, fh, indent=1)
+        print(json.dumps({"bank10k_fake_mesh_ok": True}))
+        sys.stdout.flush()
+        os._exit(0)
+
+    mesh = build_mesh(MeshConfig(1, 1, 1))
+    t0 = time.perf_counter()
+    out = detect_corpus_sharded(corpus, bank, cfg, mesh,
+                                target_phone="aa")
+    wall = time.perf_counter() - t0
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        hbm_peak_gb = round(
+            stats.get("peak_bytes_in_use", 0) / 1e9, 2
+        )
+    except Exception:
+        hbm_peak_gb = None
+    from template_speech_recognition_tpu.pipeline import (
+        evaluate_detections,
+    )
+
+    metrics = evaluate_detections(out, cfg.detect.match_tolerance)
+    prev.update({
+        "round": 5,
+        "bank_k": k_total,
+        "template_length": bank.template_length,
+        "corpus": {"utterances": n_utts,
+                   "audio_seconds": round(audio_s, 1)},
+        "mesh": [1, 1, 1],
+        "batch_size": batch,
+        "clean_run": {
+            "wall_s": round(wall, 1),
+            "audio_s_per_s": round(audio_s / wall, 1),
+            "detections": int(len(out.detections.scores)),
+            "eer": round(float(metrics["eer"]), 4),
+            "best_tpr": round(float(metrics["best_tpr"]), 4),
+        },
+        "hbm_peak_gb": hbm_peak_gb,
+        "note": (
+            "BASELINE.json:11 composed in one execution: the K=10k "
+            "bank scored through detect_corpus_sharded (streaming "
+            "buckets, collective top-K merge inside the step) over "
+            "the ~1 h soak corpus on the real chip; the fake_mesh "
+            "section holds the same composition on a 2x2x2 fake-"
+            "device mesh vs the single-chip scan"
+        ),
+    })
+    with open(path, "w") as fh:
+        json.dump(prev, fh, indent=1)
+    print(json.dumps({
+        "bank10k_soak_audio_s_per_s": prev["clean_run"]["audio_s_per_s"],
+        "hbm_peak_gb": hbm_peak_gb,
+    }))
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
+
+
+if __name__ == "__main__":
+    main()

@@ -417,7 +417,10 @@ def stream_scan(
             elif row in local_rows:
                 wavs[row, :n] = corpus.get_waveform(g)
         if debug:
+            import time as _time
+
             print(f"[scan] dispatch shard={sid} pad={pad} "
+                  f"rows={len(items)}/{b_eff} t={_time.perf_counter():.3f} "
                   f"gidx={gidxs}", file=_sys.stderr, flush=True)
         out = compute(wavs, vs)
         try:
@@ -475,9 +478,17 @@ def stream_scan(
     def drain_group(grp):
         metas, arr = grp
         if debug:
-            print(f"[scan] drain group shards={[m[0] for m in metas]}",
+            import time as _time
+
+            print(f"[scan] drain group shards={[m[0] for m in metas]} "
+                  f"t={_time.perf_counter():.3f}",
                   file=_sys.stderr, flush=True)
         a = fetch(arr)                  # [n, 3, B, kmax]
+        if debug:
+            import time as _time
+
+            print(f"[scan] drained t={_time.perf_counter():.3f}",
+                  file=_sys.stderr, flush=True)
         for i, (sid, gidxs, lens, kb) in enumerate(metas):
             s = np.asarray(a[i, 0, :, :kb], np.float32)
             t = np.asarray(a[i, 1, :, :kb]).astype(np.int32)
