@@ -115,15 +115,19 @@ def main() -> None:
     print(f"[soak] bank trained {time.perf_counter()-t0:.1f}s",
           file=sys.stderr)
 
-    if os.environ.get("SOAK_CLEAN", "0") == "1":
-        # profiling mode: one clean scan, timed, no artifact
-        t0 = time.perf_counter()
-        clean = ds.detect_corpus_sharded(corpus, bank, cfg, mesh,
-                                         target_phone="aa")
-        t_clean = time.perf_counter() - t0
+    n_clean = int(os.environ.get("SOAK_CLEAN", "0"))
+    if n_clean:
+        # profiling mode: N clean scans, timed separately -- the first
+        # pays any per-shape compiles, the last is the steady state
+        walls = []
+        for _ in range(n_clean):
+            t0 = time.perf_counter()
+            ds.detect_corpus_sharded(corpus, bank, cfg, mesh,
+                                     target_phone="aa")
+            walls.append(round(time.perf_counter() - t0, 1))
         print(json.dumps({
-            "clean_audio_s_per_s": round(audio_s / t_clean, 1),
-            "wall_s": round(t_clean, 1),
+            "clean_walls_s": walls,
+            "steady_audio_s_per_s": round(audio_s / walls[-1], 1),
         }))
         sys.stdout.flush()
         sys.stderr.flush()
