@@ -201,6 +201,7 @@ def main() -> None:
         "round": 5,
         "batch_size": batch,
         "fetch_group": int(os.environ.get("SCAN_FETCH_GROUP", "8")),
+        "upload_int16": os.environ.get("SCAN_UPLOAD_INT16", "0") == "1",
         "corpus": {
             "utterances": n_utts,
             "audio_seconds": round(audio_s, 1),

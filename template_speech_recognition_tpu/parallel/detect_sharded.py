@@ -110,6 +110,8 @@ def sharded_scan_step(
     combined over ``bank`` by max (lowest-id ties) and over ``time``
     by pmax/psum of the owner's values."""
     halo_len = max(length - 1, (m_seg - 1) if dtw else 0)
+    if wavs.dtype == jnp.int16:    # PCM16 feeding (SCAN_UPLOAD_INT16)
+        wavs = wavs.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
     fm = frontend_batch_flat.__wrapped__(wavs, valid_samples, cfg=fcfg)
     binary = fm.binary
     if parts is not None:

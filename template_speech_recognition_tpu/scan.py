@@ -155,6 +155,8 @@ def scan_step(
     the filters/bank passed in must be flattened with
     ``ops.layout.filters_to_flat`` (``detect_corpus_stream`` does)."""
     on_accel = jax.default_backend() != "cpu"
+    if wavs.dtype == jnp.int16:    # PCM16 feeding (SCAN_UPLOAD_INT16)
+        wavs = wavs.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
     fm = frontend_batch_flat.__wrapped__(wavs, valid_samples, cfg=fcfg)
     if backend == "fft":
         from template_speech_recognition_tpu.detect.fft_scorer import (
@@ -354,6 +356,13 @@ def stream_scan(
     import jax as _jax
 
     shrink_tails = _jax.process_count() == 1
+    # Opt-in PCM16 feeding (SCAN_UPLOAD_INT16=1): waveform batches
+    # upload as int16 and convert to f32/32768 on device.  Halves the
+    # host->device byte stream, which the tunnel-floor microbench
+    # (bench_tunnel.py) shows is the tunneled corpus scan's binding
+    # resource (~20-30 MB/s channel).  Exact for PCM16-sourced audio
+    # (TIMIT); float corpora quantize to the PCM16 grid (~3e-5 rel).
+    upload_i16 = _os.environ.get("SCAN_UPLOAD_INT16", "0") == "1"
     stats = StageCounters()
     lazy = (
         local_rows is not None
@@ -407,15 +416,24 @@ def stream_scan(
             b_eff = min(
                 -(-b_eff // batch_quantum) * batch_quantum, batch_size
             )
-        wavs = np.zeros((b_eff, pad), np.float32)
+        dt = np.int16 if upload_i16 else np.float32
+        wavs = np.zeros((b_eff, pad), dt)
         vs = np.zeros((b_eff,), np.int32)
+
+        def _row(w):
+            if not upload_i16:
+                return w
+            return np.clip(
+                np.round(np.asarray(w) * 32768.0), -32768, 32767
+            ).astype(np.int16)
+
         for row, (g, payload) in enumerate(items):
             n = payload if lazy else len(payload)
             vs[row] = n
             if not lazy:
-                wavs[row, :n] = payload
+                wavs[row, :n] = _row(payload)
             elif row in local_rows:
-                wavs[row, :n] = corpus.get_waveform(g)
+                wavs[row, :n] = _row(corpus.get_waveform(g))
         if debug:
             import time as _time
 

@@ -166,3 +166,44 @@ def test_manifest_rejects_changed_corpus(tmp_path, corpus, bank):
     with pytest.raises(ValueError, match="corpus or config changed"):
         detect_corpus(shorter, bank, cfg, target_phone="aa",
                       manifest=ScanManifest(mdir))
+
+
+def test_int16_upload_matches_f32_of_pcm16(monkeypatch):
+    """SCAN_UPLOAD_INT16 contract: int16 feeding of a corpus equals
+    the f32 path over the SAME PCM16-quantized samples, bitwise --
+    i.e. for PCM16-sourced audio (TIMIT) the mode is lossless; a
+    float corpus is merely snapped to the PCM16 grid once."""
+    import oracle as O
+    from template_speech_recognition_tpu.config import (
+        DetectConfig,
+        PipelineConfig,
+    )
+    from template_speech_recognition_tpu.pipeline import (
+        SyntheticAdapter,
+        train_bank,
+    )
+    from template_speech_recognition_tpu.scan import detect_corpus_stream
+
+    base = O.make_synthetic_corpus(num_utterances=4,
+                                   phones_per_utterance=4, seed=5)
+    quant_utts = []
+    for u in base.utterances:
+        w16 = np.clip(
+            np.round(u.waveform * 32768.0), -32768, 32767
+        ).astype(np.int16)
+        quant_utts.append(
+            type(u)(w16.astype(np.float32) / 32768.0, u.phones, u.utt_id)
+        )
+    pcm = type(base)(quant_utts, base.sample_rate, base.phone_names)
+    corpus = SyntheticAdapter(base)
+    corpus_pcm = SyntheticAdapter(pcm)
+    cfg = PipelineConfig(detect=DetectConfig(batch_size=2))
+    bank = train_bank(corpus_pcm, ["aa", "iy"], cfg)
+    ref = detect_corpus_stream(corpus_pcm, bank, cfg, target_phone="aa")
+    monkeypatch.setenv("SCAN_UPLOAD_INT16", "1")
+    got = detect_corpus_stream(corpus, bank, cfg, target_phone="aa")
+    r, g = ref.detections, got.detections
+    np.testing.assert_array_equal(g.scores, r.scores)
+    np.testing.assert_array_equal(g.times, r.times)
+    np.testing.assert_array_equal(g.template_ids, r.template_ids)
+    np.testing.assert_array_equal(g.utterance_ids, r.utterance_ids)
