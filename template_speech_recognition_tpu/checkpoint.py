@@ -122,8 +122,12 @@ def run_em_checkpointed(
             history=jnp.full((num_iters,), jnp.nan, jnp.float32),
         )
 
+    # x and the mask ride as ARGUMENTS, never closures: a closed-over
+    # exemplar matrix becomes an HLO constant, and at corpus scale
+    # (hundreds of MB) the tunneled remote compile rejects the request
+    # outright (HTTP 413) -- same rule as bench._slope_time.
     @functools.partial(jax.jit, static_argnames=("steps",))
-    def run_chunk(s: EMState, steps: int) -> EMState:
+    def run_chunk(xa, mask_a, s: EMState, steps: int) -> EMState:
         def cond(t):
             return (t.iteration < jnp.int32(s.iteration + steps)) \
                 & (t.iteration < num_iters) & (~t.done)
@@ -131,7 +135,7 @@ def run_em_checkpointed(
         def body(t: EMState) -> EMState:
             it = t.iteration + 1
             new_resp, means, weights, mean_ll = em_step(
-                x, t.responsibilities, mask_arr, eps
+                xa, t.responsibilities, mask_a, eps
             )
             improvement = mean_ll - t.log_likelihood
             done = (improvement < tol) & (it > 1)
@@ -141,7 +145,7 @@ def run_em_checkpointed(
         return lax.while_loop(cond, body, s)
 
     while int(state.iteration) < num_iters and not bool(state.done):
-        state = run_chunk(state, chunk_iters)
+        state = run_chunk(x, mask_arr, state, chunk_iters)
         save_em_state(path, state)
     return state
 

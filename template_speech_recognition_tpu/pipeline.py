@@ -139,7 +139,7 @@ def bucket_length(n: int, quantum: int = 16384) -> int:
     return max(quantum, ((n + quantum - 1) // quantum) * quantum)
 
 
-def _clip_feature_maps(clips, cfg: PipelineConfig, batch: int = 32):
+def _clip_feature_maps(clips, cfg: PipelineConfig, batch: int = 128):
     """Frontend over variable-length clips -> (padded stack, lengths).
 
     Clips run through the BATCHED frontend ``batch`` at a time (one
