@@ -243,6 +243,12 @@ def main() -> None:
         out_name = "SOAK_SHARDED_r05.json"
     else:
         out_name = "SOAK_DTW_r05.json" if use_dtw else "SOAK_r05.json"
+        if out["upload_int16"]:
+            # PCM16 feeding is lossless only for PCM-sourced audio;
+            # on the synthetic FLOAT corpus it perturbs near-threshold
+            # edge cells and shifts EER, so its run records separately
+            # and never overwrites the canonical f32 artifact
+            out_name = out_name.replace("SOAK_", "SOAK_I16_")
     with open(out_name, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps({"soak_audio_s_per_s": out["clean_run"]["audio_s_per_s"],
