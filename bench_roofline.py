@@ -175,6 +175,9 @@ def _measure_e2e_dtw_share(b, t, k, length, fcfg):
     from template_speech_recognition_tpu.ops.layout import filters_to_flat
 
     w_rows = filters_to_flat(w)
+    # production stream-level bf16 copy (scan.detect_corpus_stream
+    # does this once per scan for top_r=1)
+    w_rows16 = w_rows.astype(jnp.bfloat16)
     c_rows = jnp.zeros((k, length), jnp.float32)
     jax.block_until_ready(bank.w2)
     valid = jnp.full((b,), samples, jnp.int32)
@@ -184,6 +187,8 @@ def _measure_e2e_dtw_share(b, t, k, length, fcfg):
     for mode in ("off", "exhaustive", "top_r1"):
         use_dtw = mode != "off"
         top_r = 1 if mode == "top_r1" else 0
+
+        wr_arg = w_rows16 if top_r == 1 else w_rows
 
         def run(wv, vs, bk, wr, cr, use_dtw=use_dtw, top_r=top_r):
             s, tt, kk = scan_step.__wrapped__(
@@ -200,7 +205,7 @@ def _measure_e2e_dtw_share(b, t, k, length, fcfg):
             )
 
         out[mode] = _slope_time(
-            run, wavs, valid, bank, w_rows, c_rows, reps=(2, 8)
+            run, wavs, valid, bank, wr_arg, c_rows, reps=(2, 8)
         )
     share_ex = (out["exhaustive"] - out["off"]) / out["exhaustive"]
     share_r1 = (out["top_r1"] - out["off"]) / out["top_r1"]
