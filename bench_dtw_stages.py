@@ -57,6 +57,21 @@ def main() -> None:
     out["seg_gather_s"] = _slope_time(seg_gather, binary, times,
                                       reps=(2, 8))
 
+    def seg_gather_flat(bm, tm):
+        idx = jnp.clip(
+            tm[:, :, None] + jnp.arange(m_seg)[None, None, :], 0, t - 1
+        )
+        rows = (
+            jnp.arange(b, dtype=jnp.int32)[:, None, None] * t + idx
+        ).reshape(-1)
+        segs = jnp.take(
+            bm.astype(jnp.bfloat16).reshape(b * t, d), rows, axis=0
+        )
+        return jnp.sum(segs.astype(jnp.float32))
+
+    out["seg_gather_flat_s"] = _slope_time(seg_gather_flat, binary,
+                                           times, reps=(2, 8))
+
     def w_gather(w, ii):
         wk = jnp.take(w, ii.reshape(-1), axis=0)
         return jnp.sum(wk.astype(jnp.float32))

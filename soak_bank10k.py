@@ -133,10 +133,14 @@ def main() -> None:
         os._exit(0)
 
     mesh = build_mesh(MeshConfig(1, 1, 1))
-    t0 = time.perf_counter()
-    out = detect_corpus_sharded(corpus, bank, cfg, mesh,
-                                target_phone="aa")
-    wall = time.perf_counter() - t0
+    passes = int(os.environ.get("BANK10K_PASSES", "1"))
+    walls = []
+    for _ in range(max(passes, 1)):
+        t0 = time.perf_counter()
+        out = detect_corpus_sharded(corpus, bank, cfg, mesh,
+                                    target_phone="aa")
+        walls.append(round(time.perf_counter() - t0, 1))
+    wall = walls[-1]        # steady state: executables loaded in-process
     try:
         stats = jax.local_devices()[0].memory_stats() or {}
         hbm_peak_gb = round(
@@ -158,6 +162,7 @@ def main() -> None:
         "mesh": [1, 1, 1],
         "batch_size": batch,
         "clean_run": {
+            "walls_s_per_pass": walls,
             "wall_s": round(wall, 1),
             "audio_s_per_s": round(audio_s / wall, 1),
             "detections": int(len(out.detections.scores)),

@@ -282,9 +282,15 @@ def sharded_scan_step(
             jnp.bfloat16 if (dtw_top_r == 1 and use_pallas)
             else jnp.float32
         )
-        segs = jax.vmap(lambda fmap, ix: jnp.take(fmap, ix, axis=0))(
-            ext.astype(seg_dt), idx
-        )                                                 # [B_l, P, m, D]
+        # flat row-gather (see scan.dtw_rescore_batched): the vmapped
+        # per-utterance gather runs ~5x off DMA rate on TPU
+        t_ext = ext.shape[1]
+        rows = (
+            jnp.arange(b_l, dtype=jnp.int32)[:, None, None] * t_ext + idx
+        ).reshape(-1)
+        segs = jnp.take(
+            ext.astype(seg_dt).reshape(b_l * t_ext, -1), rows, axis=0
+        ).reshape(b_l, p, m_seg, ext.shape[2])            # [B_l, P, m, D]
         seg_lens = jnp.clip(vf_l.astype(jnp.int32)[:, None] - t_m, 1, m_seg)
         if dtw_top_r == 1:
             # verify-the-winner (DTWConfig.top_r): each merged peak is

@@ -87,9 +87,17 @@ def dtw_rescore_batched(binary, valid_frames, scores, times, ids,
     seg_dt = (
         jnp.bfloat16 if (top_r == 1 and use_pallas) else jnp.float32
     )
-    segs = jax.vmap(lambda bm, ix: jnp.take(bm, ix, axis=0))(
-        binary.astype(seg_dt), idx
-    )                                             # [B, P, m_seg, F, E]
+    # one flat row-gather instead of a vmapped per-utterance gather:
+    # the batched gather lowers ~5x off DMA rate on TPU (measured in
+    # bench_dtw_stages.py) and dominated the whole rescore
+    feat_dims = binary.shape[2:]
+    rows = (
+        jnp.arange(b, dtype=jnp.int32)[:, None, None] * tdim + idx
+    ).reshape(-1)
+    segs = jnp.take(
+        binary.astype(seg_dt).reshape((b * tdim,) + feat_dims),
+        rows, axis=0,
+    ).reshape((b, p, m_seg) + feat_dims)          # [B, P, m_seg, F, E]
     seg_lens = jnp.clip(
         valid_frames.astype(jnp.int32)[:, None] - t_idx, 1, m_seg
     )
