@@ -168,6 +168,104 @@ def _kernel(planes_ref, need_ref, valid_ref,
     flat_ref[0] = both                             # [T, 2F]
 
 
+def _kernel_allplanes(planes_ref, need_ref, valid_ref,
+                      flat_ref, key_ref, keys_ref,
+                      *, rf: int, rt: int, f: int, t: int, p: int):
+    """All-planes-per-program variant (round 5): one grid program per
+    UTTERANCE holds every response plane resident and runs the 2*p
+    bisection chains interleaved.
+
+    Why: the dual-rank bisection is bound by its serial dependency --
+    each level's count must reduce to a scalar before the next bound
+    exists, so the per-plane kernel pays 32 full reduction latencies
+    per (utterance, plane) back to back (measured: a dependency-free
+    count pass runs ~40x faster than the chained bisection achieves).
+    With p planes per program the 2*p independent chains issue their
+    counts together each level, overlapping the reduction latency ~p
+    times.  Counts, compares, and epilogue are bit-identical to the
+    per-plane kernel (same order within each chain)."""
+    bi = pl.program_id(0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
+    rv = rows < valid_ref[bi, 0]                   # [T, 1]
+    for pi in range(p):
+        plane = planes_ref[pi, 0]                  # [T, F] f32
+        bits = jax.lax.bitcast_convert_type(plane, jnp.uint32)
+        keys = jnp.where(
+            bits >= jnp.uint32(_SIGN), ~bits, bits | jnp.uint32(_SIGN)
+        )
+        keys_ref[pi] = jnp.where(rv, keys, jnp.uint32(_MASKED))
+
+    need_hi = need_ref[bi, 0]
+    need_lo = need_ref[bi, 1]
+
+    def level(_, carry):
+        vhs, vls, step = carry
+        nh, nl = [], []
+        for pi in range(p):
+            ks = keys_ref[pi]
+            b_hi = vhs[pi] + step
+            b_lo = vls[pi] + step
+            c_hi = jnp.sum((ks < b_hi).astype(jnp.int32))
+            c_lo = jnp.sum((ks < b_lo).astype(jnp.int32))
+            nh.append(jnp.where(c_hi < need_hi, b_hi, vhs[pi]))
+            nl.append(jnp.where(c_lo < need_lo, b_lo, vls[pi]))
+        return tuple(nh), tuple(nl), step >> jnp.uint32(1)
+
+    zero = jnp.uint32(0)
+    vhs, vls, _ = jax.lax.fori_loop(
+        0, 32, level,
+        (tuple(zero for _ in range(p)), tuple(zero for _ in range(p)),
+         jnp.uint32(_SIGN)),
+    )
+
+    def canon(k):
+        return jnp.where(
+            k == jnp.uint32(_SIGN - 1), jnp.uint32(_SIGN), k
+        )
+
+    def dil_freq(x):
+        out = x
+        for s in range(1, rf + 1):
+            z = jnp.zeros((t, s), jnp.uint8)
+            out = (
+                out
+                | jnp.concatenate([z, x[:, : f - s]], 1)
+                | jnp.concatenate([x[:, s:], z], 1)
+            )
+        return out
+
+    cols = []
+    for pi in range(p):
+        key_ref[bi, pi, 0] = vhs[pi]
+        key_ref[bi, pi, 1] = vls[pi]
+        cks = canon(keys_ref[pi])
+        pos = ((cks > canon(vhs[pi])) & rv).astype(jnp.uint8)
+        neg = ((cks < canon(vls[pi])) & rv).astype(jnp.uint8)
+        if rf:
+            pos = dil_freq(pos)
+            neg = dil_freq(neg)
+        cols.append(pos)
+        cols.append(neg)
+    both = jnp.concatenate(cols, 1)                # [T, 2pF]
+    if rt:
+        out = both
+        for s in range(1, rt + 1):
+            z = jnp.zeros((s, 2 * p * f), jnp.uint8)
+            out = (
+                out
+                | jnp.concatenate([z, both[: t - s, :]], 0)
+                | jnp.concatenate([both[s:, :], z], 0)
+            )
+        both = jnp.where(rv, out, jnp.uint8(0))
+    flat_ref[0] = both                             # [T, 2pF]
+
+
+# All p planes resident at once: cap the per-plane cell count so the
+# plane blocks + key scratch + epilogue stay inside the ~100 MB VMEM
+# window (the per-plane kernel's cap is 2x this).
+_ALLPLANES_MAX_CELLS = 786_432
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("spread_freq", "spread_time", "digit_bits",
@@ -208,6 +306,43 @@ def select_binspread_pallas(
     if t % 128 or f % 128:
         raise ValueError(f"T={t} and F={f} must be multiples of 128")
     vf = valid_frames.astype(jnp.int32).reshape(b, 1)
+    if digit_bits == 1 and t * f <= _ALLPLANES_MAX_CELLS:
+        # production path: all planes per program, bisection chains
+        # interleaved (see _kernel_allplanes)
+        flat, keys = pl.pallas_call(
+            functools.partial(_kernel_allplanes, rf=spread_freq,
+                              rt=spread_time, f=f, t=t, p=p),
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((p, 1, t, f), lambda bi: (0, bi, 0, 0)),
+                pl.BlockSpec((b, 2), lambda bi: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((b, 1), lambda bi: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, t, 2 * p * f), lambda bi: (bi, 0, 0)),
+                pl.BlockSpec((b, p, 2), lambda bi: (0, 0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, t, 2 * p * f), jnp.uint8),
+                jax.ShapeDtypeStruct((b, p, 2), jnp.uint32),
+            ],
+            scratch_shapes=[pltpu.VMEM((p, t, f), jnp.uint32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=int(p * b * t * f * (32 * 4 + 8 + 4 * spread_freq)),
+                bytes_accessed=int(
+                    p * b * t * f * 4 + b * t * 2 * p * f
+                ),
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(planes, need, vf)
+        return flat, keys
     flat, keys = pl.pallas_call(
         functools.partial(_kernel, rf=spread_freq, rt=spread_time,
                           f=f, t=t, db=digit_bits),
