@@ -286,12 +286,16 @@ def main() -> None:
             "cut MXU work ~14x vs the direct conv (docs/PERFORMANCE.md)"
         ),
         "frontend": (
-            "three-resource roofline (CostModel.frontend_fused_"
-            "roofline): the VMEM-resident select kernel removed every "
-            "HBM re-read (planes round-trip once, the compulsory "
-            "minimum), so the binding resource is now the VPU compute "
-            "of the exact dual-rank 32-level bisection itself plus "
-            "the exact-f32 DFT GEMM -- not HBM traffic"
+            "four-resource roofline (CostModel.frontend_fused_"
+            "roofline): the binding resource is the VMEM load "
+            "stream of the exact dual-rank select -- every one of "
+            "the 32 bisection levels re-reads the resident u32 "
+            "keys, and the measured VMEM bandwidth (2.6 TB/s, "
+            "bench_selbin_levels.py) puts that floor at ~1.3 ms at "
+            "the bench shape.  The 16-bit key split that would "
+            "halve it crashes this toolchain Mosaic compiler "
+            "(bench_selbin_levels int16/int8 rows), so this is the "
+            "measured stopping point for an exact select"
         ),
         "dtw": (
             "lane-packed wavefront (round 5): 128//lp pairs per VPU "

@@ -30,6 +30,12 @@ PEAK_F32_HIGHEST_FLOPS = PEAK_BF16_FLOPS / 6.0
 # VPU: 8 sublanes x 128 lanes x ~4 issue slots x ~0.94 GHz (v5e-class)
 PEAK_VPU_OPS = 3.9e12
 HBM_BYTES_PER_S = 819e9
+# VMEM -> VPU load bandwidth, MEASURED on this chip by the
+# dependency-free count-pass probe (bench_selbin_levels.py int32 row:
+# 32 sweeps over a resident [3072, 256] i32 plane).  The exact
+# order-statistic select re-reads its resident keys once per bisection
+# level, so this -- not ALU issue -- is its binding resource.
+VMEM_BYTES_PER_S = 2.6e12
 
 
 @contextlib.contextmanager
@@ -150,6 +156,13 @@ class CostModel:
         vpu = cells * (
             4 + 32 * 2 * 2 + 4 + 3.0 * 2 * (spread_time + spread_freq)
         )
+        # VMEM load stream of the resident select: every bisection
+        # level re-reads the resident u32 keys (both ranks share one
+        # load); plus the key build/binarize/dilation passes.  This is
+        # the select's MEASURED binding resource (round 5): the 16-bit
+        # key split that would halve it crashes this toolchain's
+        # Mosaic compiler (bench_selbin_levels.py int16/int8 rows).
+        vmem = cells * 4.0 * (32 + 6)
         hbm = b * (
             samples * 4.0              # waveform in
             + t * frame_length * 8.0   # frames write + read (XLA stage)
@@ -158,12 +171,16 @@ class CostModel:
         )
         t_mxu = mxu / PEAK_F32_HIGHEST_FLOPS
         t_vpu = vpu / PEAK_VPU_OPS
+        t_vmem = vmem / VMEM_BYTES_PER_S
         t_hbm = hbm / HBM_BYTES_PER_S
-        bound = max(t_mxu, t_vpu, t_hbm)
-        name = {t_mxu: "mxu", t_vpu: "vpu", t_hbm: "memory"}[bound]
+        bound = max(t_mxu, t_vpu, t_vmem, t_hbm)
+        name = {
+            t_mxu: "mxu", t_vpu: "vpu", t_vmem: "vmem", t_hbm: "memory"
+        }[bound]
         return {
             "mxu_s": t_mxu,
             "vpu_s": t_vpu,
+            "vmem_s": t_vmem,
             "memory_s": t_hbm,
             "bound": name,
             "roofline_s": bound,
