@@ -512,8 +512,11 @@ def _banded_dtw_packed(
             )
         rows = max(block_pairs // pack, 8)
     else:
+        # prefer 128 rows: multiple grid blocks pipeline their DMAs
+        # behind the wavefront compute -- measured 3.5x faster than
+        # one maximal block at the roofline shape (2048 pairs, L=32)
         rows = 8
-        for r in (512, 256, 128, 64, 32, 16, 8):
+        for r in (128, 64, 32, 16, 8):
             if r <= rows_cap:
                 rows = r
                 break
