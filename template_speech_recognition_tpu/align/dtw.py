@@ -215,6 +215,71 @@ def dtw_pairwise_scores(
     return -total / (num_rows + lens).astype(jnp.float32)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("m_seg", "band", "use_pallas")
+)
+def dtw_pairwise_scores_from_map(
+    binary_flat: jnp.ndarray,   # [B, T, D] feature map (any float dtype)
+    times: jnp.ndarray,         # [B, P] int32 window starts (pre-clipped)
+    ids: jnp.ndarray,           # [B, P] int32 winner template ids
+    w_rows: jnp.ndarray,        # [K, L, D] per-row filters
+    c_rows: jnp.ndarray,        # [K, L]
+    valid_frames: jnp.ndarray,  # [B] int32
+    m_seg: int,
+    band: int,
+    use_pallas: bool = True,
+    seg_lens: jnp.ndarray | None = None,   # [B, P] override (sharded)
+) -> jnp.ndarray:               # [B, P]
+    """Verify-the-winner rescore STRAIGHT from the feature map: the
+    per-pair [m_seg, D] windows and [L, D] filter rows DMA from HBM
+    inside ``ops.dtw_pallas.pair_llr_pallas`` -- no gathered segment
+    or filter intermediates exist (round 5; the XLA gathers measured
+    ~2 ms/batch at the bench shape, ~5x their bytes' DMA time).
+    Identical scores to ``dtw_pairwise_scores`` over gathered
+    segments (tested)."""
+    from template_speech_recognition_tpu.ops.dtw_pallas import (
+        banded_dtw_pallas,
+        pair_llr_pallas,
+    )
+
+    b, tdim = binary_flat.shape[0], binary_flat.shape[1]
+    d = int(np.prod(binary_flat.shape[2:]))
+    num_rows = w_rows.shape[1]
+    t_idx = jnp.clip(times, 0, tdim - 1)
+    rowstart = (
+        jnp.arange(b, dtype=jnp.int32)[:, None] * tdim + t_idx
+    ).reshape(-1)
+    flat = binary_flat.reshape(b * tdim, d).astype(jnp.bfloat16)
+    # windows near the padded tail read past the array: m_seg - 1
+    # zero rows keep every DMA in bounds (those cells are outside
+    # seg_len and masked by the DP)
+    flat = jnp.concatenate(
+        [flat, jnp.zeros((m_seg, d), flat.dtype)]
+    )
+    w16 = w_rows.reshape(w_rows.shape[0], num_rows, d).astype(
+        jnp.bfloat16
+    )
+    safe = jnp.clip(ids.reshape(-1), 0, w_rows.shape[0] - 1)
+    llr = pair_llr_pallas(
+        flat, w16, rowstart, safe, m_seg,
+        interpret=not use_pallas or None,
+    )                                              # [B*P, L, m_seg]
+    llr = llr + jnp.take(
+        c_rows.astype(jnp.float32), safe, axis=0
+    )[:, :, None]
+    if seg_lens is None:
+        lens = jnp.clip(
+            valid_frames.astype(jnp.int32)[:, None] - t_idx, 1, m_seg
+        ).reshape(-1)
+    else:
+        lens = seg_lens.astype(jnp.int32).reshape(-1)
+    total = banded_dtw_pallas(
+        -llr, lens, band, interpret=not use_pallas or None
+    )
+    scores = -total / (num_rows + lens).astype(jnp.float32)
+    return jnp.where(total > 1e37, -jnp.inf, scores).reshape(times.shape)
+
+
 def _dtw_scores_chunk(segments, seg_lens, w, c_rows, band, use_pallas):
     if not use_pallas:
 

@@ -486,6 +486,119 @@ def banded_dtw_pallas(
     return out.reshape(n)
 
 
+def _pair_llr_kernel(rowstart_ref, ids_ref, feats_ref, w_ref, out_ref,
+                     seg_buf, w_buf, sems, *, bp: int, m: int):
+    """Per-pair LLR cost tiles with DMA-fused gathers.
+
+    Each pair p needs cost[i, j] = w[id_p, i] . feats[row_p + j] --
+    round 5 measured the XLA route (gather segments, gather filter
+    rows, batched GEMM) at ~2.0 ms per bench batch, ~5x the bytes'
+    DMA time, because both gathers materialize 100+ MB intermediates.
+    Here each pair's [m, D] feature window and [L, D] filter rows DMA
+    straight from HBM into VMEM (double-buffered across pairs) and the
+    [L, m] tile comes off one MXU dot -- nothing intermediate touches
+    HBM except the small [N, L, m] cost output."""
+    i = pl.program_id(0)
+
+    def dma_pair(j, slot):
+        pair = i * bp + j
+        row = rowstart_ref[pair]
+        kid = ids_ref[pair]
+        seg = pltpu.make_async_copy(
+            feats_ref.at[pl.ds(row, m)], seg_buf.at[slot],
+            sems.at[slot, 0],
+        )
+        wv = pltpu.make_async_copy(
+            w_ref.at[kid], w_buf.at[slot], sems.at[slot, 1],
+        )
+        seg.start()
+        wv.start()
+        return seg, wv
+
+    dma_pair(0, 0)
+
+    def body(j, _):
+        slot = jax.lax.rem(j, 2)
+        nxt = jax.lax.rem(j + 1, 2)
+
+        @pl.when(j + 1 < bp)
+        def _():
+            dma_pair(j + 1, nxt)
+
+        # re-constructing the copy descriptors waits on the same
+        # semaphores the started copies signal
+        pair = i * bp + j
+        row = rowstart_ref[pair]
+        kid = ids_ref[pair]
+        pltpu.make_async_copy(
+            feats_ref.at[pl.ds(row, m)], seg_buf.at[slot],
+            sems.at[slot, 0],
+        ).wait()
+        pltpu.make_async_copy(
+            w_ref.at[kid], w_buf.at[slot], sems.at[slot, 1],
+        ).wait()
+        out_ref[j] = jax.lax.dot_general(
+            w_buf[slot], seg_buf[slot],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                          # [L, m]
+        return 0
+
+    jax.lax.fori_loop(0, bp, body, 0, unroll=False)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "block_pairs",
+                                             "interpret"))
+def pair_llr_pallas(
+    feats_flat: jnp.ndarray,   # [R, D] bf16 (pad >= max(rowstart)+m rows)
+    w: jnp.ndarray,            # [K, L, D] bf16
+    rowstart: jnp.ndarray,     # [N] int32 flat feature-row starts
+    ids: jnp.ndarray,          # [N] int32 template ids
+    m: int,
+    block_pairs: int = 8,
+    interpret: bool | None = None,
+) -> jnp.ndarray:              # [N, L, m] f32
+    """LLR cost tiles for verify-the-winner DTW (see _pair_llr_kernel).
+    N pads internally to the block size (extra pairs replay pair 0 and
+    are sliced off)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = rowstart.shape[0]
+    k, length, d = w.shape
+    bp = block_pairs
+    n_pad = _round_up(n, bp)
+    rowstart = rowstart.astype(jnp.int32)
+    ids = jnp.clip(ids.astype(jnp.int32), 0, k - 1)
+    if n_pad != n:
+        rowstart = jnp.concatenate(
+            [rowstart, jnp.zeros(n_pad - n, jnp.int32)]
+        )
+        ids = jnp.concatenate([ids, jnp.zeros(n_pad - n, jnp.int32)])
+    out = pl.pallas_call(
+        functools.partial(_pair_llr_kernel, bp=bp, m=m),
+        grid=(n_pad // bp,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((bp, length, m), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, length, m), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, m, d), feats_flat.dtype),
+            pltpu.VMEM((2, length, d), w.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(rowstart, ids, feats_flat, w)
+    return out[:n]
+
+
 def _banded_dtw_packed(
     cost: jnp.ndarray,       # [N, L, M] float32
     seg_lens: jnp.ndarray,   # [N] int32

@@ -275,22 +275,6 @@ def sharded_scan_step(
         local = (t_m >= t0) & (t_m < t0 + t_l)
         lt = jnp.clip(t_m - t0, 0, t_l - 1)
         # segments fit entirely in ext: lt + m_seg - 1 <= t_l + halo - 1
-        idx = lt[:, :, None] + jnp.arange(m_seg, dtype=jnp.int32)[None, None]
-        # top_r=1 on accelerator gathers bf16 (binary features exact
-        # in bf16): half the segment-stream bytes, f32 accumulation
-        seg_dt = (
-            jnp.bfloat16 if (dtw_top_r == 1 and use_pallas)
-            else jnp.float32
-        )
-        # flat row-gather (see scan.dtw_rescore_batched): the vmapped
-        # per-utterance gather runs ~5x off DMA rate on TPU
-        t_ext = ext.shape[1]
-        rows = (
-            jnp.arange(b_l, dtype=jnp.int32)[:, None, None] * t_ext + idx
-        ).reshape(-1)
-        segs = jnp.take(
-            ext.astype(seg_dt).reshape(b_l * t_ext, -1), rows, axis=0
-        ).reshape(b_l, p, m_seg, ext.shape[2])            # [B_l, P, m, D]
         seg_lens = jnp.clip(vf_l.astype(jnp.int32)[:, None] - t_m, 1, m_seg)
         if dtw_top_r == 1:
             # verify-the-winner (DTWConfig.top_r): each merged peak is
@@ -299,24 +283,60 @@ def sharded_scan_step(
             # the others contribute -inf, pmax combines -- cost is
             # constant in the bank size (the exhaustive path's cost
             # GEMM is O(peaks * K_l))
-            from template_speech_recognition_tpu.align.dtw import (
-                dtw_pairwise_scores,
-            )
-
             k_l_rows = wr_l.shape[0]
             k0b = lax.axis_index("bank") * k_l_rows
             lid = k_m - k0b
             owned_b = (lid >= 0) & (lid < k_l_rows)
-            safe = jnp.clip(lid, 0, k_l_rows - 1).reshape(-1)
-            wk = jnp.take(wr_l, safe, axis=0)     # [B_l*P, L, D]
-            ck = jnp.take(cr_l, safe, axis=0)     # [B_l*P, L]
-            sc1 = dtw_pairwise_scores.__wrapped__(
-                segs.reshape((b_l * p, m_seg) + segs.shape[3:]),
-                seg_lens.reshape(-1), wk, ck, band, use_pallas,
-            ).reshape(b_l, p)
+            safe = jnp.clip(lid, 0, k_l_rows - 1)
+            if use_pallas:
+                # fused DMA gathers + GEMM straight from the halo-
+                # extended feature map (align.dtw, round 5)
+                from template_speech_recognition_tpu.align.dtw import (
+                    dtw_pairwise_scores_from_map,
+                )
+
+                sc1 = dtw_pairwise_scores_from_map.__wrapped__(
+                    ext, lt, safe, wr_l, cr_l, vf_l, m_seg, band,
+                    True, seg_lens=seg_lens,
+                )
+            else:
+                from template_speech_recognition_tpu.align.dtw import (
+                    dtw_pairwise_scores,
+                )
+
+                idx = (
+                    lt[:, :, None]
+                    + jnp.arange(m_seg, dtype=jnp.int32)[None, None]
+                )
+                t_ext = ext.shape[1]
+                rows = (
+                    jnp.arange(b_l, dtype=jnp.int32)[:, None, None]
+                    * t_ext + idx
+                ).reshape(-1)
+                segs = jnp.take(
+                    ext.reshape(b_l * t_ext, -1), rows, axis=0
+                ).reshape(b_l, p, m_seg, ext.shape[2])
+                wk = jnp.take(wr_l, safe.reshape(-1), axis=0)
+                ck = jnp.take(cr_l, safe.reshape(-1), axis=0)
+                sc1 = dtw_pairwise_scores.__wrapped__(
+                    segs.reshape((b_l * p, m_seg) + segs.shape[3:]),
+                    seg_lens.reshape(-1), wk, ck, band, use_pallas,
+                ).reshape(b_l, p)
             bb = lax.pmax(jnp.where(owned_b, sc1, _NEG), "bank")
             bi = k_m
         else:
+            idx = (
+                lt[:, :, None]
+                + jnp.arange(m_seg, dtype=jnp.int32)[None, None]
+            )
+            t_ext = ext.shape[1]
+            rows = (
+                jnp.arange(b_l, dtype=jnp.int32)[:, None, None]
+                * t_ext + idx
+            ).reshape(-1)
+            segs = jnp.take(
+                ext.reshape(b_l * t_ext, -1), rows, axis=0
+            ).reshape(b_l, p, m_seg, ext.shape[2])
             pair = dtw_keyword_scores_batch.__wrapped__(
                 segs.reshape((b_l * p, m_seg) + segs.shape[3:]),
                 seg_lens.reshape(-1),

@@ -78,30 +78,37 @@ def dtw_rescore_batched(binary, valid_frames, scores, times, ids,
     b, p = scores.shape
     tdim = binary.shape[1]
     t_idx = jnp.clip(times, 0, tdim - 1)
+    keep = jnp.isfinite(scores)
+    if top_r == 1 and use_pallas:
+        # production: LLR tiles DMA straight from the feature map and
+        # filter bank inside the fused kernel -- no gathered segment
+        # or filter intermediates (align.dtw_pairwise_scores_from_map)
+        from template_speech_recognition_tpu.align.dtw import (
+            dtw_pairwise_scores_from_map,
+        )
+
+        pair1 = dtw_pairwise_scores_from_map.__wrapped__(
+            binary, t_idx, ids, w_rows, c_rows, valid_frames,
+            m_seg, band, True,
+        )
+        return (
+            jnp.where(keep, pair1, -jnp.inf),
+            jnp.where(keep, ids, 0),
+        )
     idx = jnp.clip(
         t_idx[:, :, None] + jnp.arange(m_seg)[None, None, :], 0, tdim - 1
     )
-    # production (top_r=1 on accelerator): gather bf16 copies -- binary
-    # features are exact in bf16, halving the [B, P, m, D] segment and
-    # [B, P, L, D] filter streams that dominate the rescore's HBM cost
-    seg_dt = (
-        jnp.bfloat16 if (top_r == 1 and use_pallas) else jnp.float32
-    )
-    # one flat row-gather instead of a vmapped per-utterance gather:
-    # the batched gather lowers ~5x off DMA rate on TPU (measured in
-    # bench_dtw_stages.py) and dominated the whole rescore
     feat_dims = binary.shape[2:]
     rows = (
         jnp.arange(b, dtype=jnp.int32)[:, None, None] * tdim + idx
     ).reshape(-1)
     segs = jnp.take(
-        binary.astype(seg_dt).reshape((b * tdim,) + feat_dims),
+        binary.astype(jnp.float32).reshape((b * tdim,) + feat_dims),
         rows, axis=0,
     ).reshape((b, p, m_seg) + feat_dims)          # [B, P, m_seg, F, E]
     seg_lens = jnp.clip(
         valid_frames.astype(jnp.int32)[:, None] - t_idx, 1, m_seg
     )
-    keep = jnp.isfinite(scores)
     if top_r == 1:
         from template_speech_recognition_tpu.align.dtw import (
             dtw_pairwise_scores,

@@ -233,3 +233,51 @@ def test_sharded_top_r1_matches_single_chip():
         np.testing.assert_allclose(
             g.scores[order_g], r.scores[order_r], rtol=1e-4, atol=1e-3
         )
+
+
+def test_fused_from_map_matches_gathered_pairwise():
+    """pair_llr_pallas fused gathers (interpret): scores from the
+    feature map == dtw_pairwise_scores over explicitly gathered
+    segments/filters."""
+    from template_speech_recognition_tpu.align.dtw import (
+        dtw_pairwise_scores,
+        dtw_pairwise_scores_from_map,
+    )
+
+    rng = np.random.default_rng(9)
+    b, t, k, length, d = 2, 40, 5, 6, 16
+    m_seg, band = 10, 3
+    p = 4
+    binary = jnp.asarray((rng.random((b, t, d)) < 0.3).astype(np.float32))
+    times = jnp.asarray(rng.integers(0, t - 1, (b, p)), jnp.int32)
+    ids = jnp.asarray(rng.integers(0, k, (b, p)), jnp.int32)
+    w = jnp.asarray(rng.normal(size=(k, length, d)).astype(np.float32))
+    c_rows = jnp.asarray(rng.normal(size=(k, length)).astype(np.float32))
+    vf = jnp.asarray([t, t - 6], jnp.int32)
+    got = np.asarray(
+        dtw_pairwise_scores_from_map(
+            binary, times, ids, w, c_rows, vf, m_seg, band,
+            use_pallas=False,
+        )
+    )
+    # reference: explicit gathers (bf16 operands to match)
+    idx = np.clip(
+        np.asarray(times)[:, :, None] + np.arange(m_seg)[None, None],
+        0, t - 1,
+    )
+    segs = np.stack([np.asarray(binary)[i][idx[i]] for i in range(b)])
+    lens = np.clip(np.asarray(vf)[:, None] - np.asarray(times), 1, m_seg)
+    wk = np.asarray(w)[np.asarray(ids).reshape(-1)]
+    ck = np.asarray(c_rows)[np.asarray(ids).reshape(-1)]
+    want = np.asarray(
+        dtw_pairwise_scores(
+            jnp.asarray(segs.reshape(b * p, m_seg, d), jnp.bfloat16),
+            jnp.asarray(lens.reshape(-1), jnp.int32),
+            jnp.asarray(wk, jnp.bfloat16),
+            jnp.asarray(ck), band, use_pallas=True,
+        )
+    ).reshape(b, p)
+    finite = np.isfinite(want)
+    np.testing.assert_allclose(got[finite], want[finite], rtol=1e-3,
+                               atol=1e-3)
+    assert (np.isfinite(got) == finite).all()
