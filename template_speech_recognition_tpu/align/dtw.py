@@ -245,25 +245,41 @@ def dtw_pairwise_scores_from_map(
     b, tdim = binary_flat.shape[0], binary_flat.shape[1]
     d = int(np.prod(binary_flat.shape[2:]))
     num_rows = w_rows.shape[1]
+    # Mosaic requires the HBM DMA's row slice to be 8-ALIGNED in both
+    # offset and length: copy m_pad + 8 rows from the aligned start
+    # row0 = rowstart & ~7 and slice each pair's true columns
+    # (off = rowstart - row0 in [0, 8)) off the small LLR tile
+    # afterwards; cells beyond seg_len are masked by the DP band /
+    # rectangle exactly like any other padding
+    m_pad = -(-m_seg // 8) * 8
+    m_dma = m_pad + 8
     t_idx = jnp.clip(times, 0, tdim - 1)
     rowstart = (
         jnp.arange(b, dtype=jnp.int32)[:, None] * tdim + t_idx
     ).reshape(-1)
+    row0 = rowstart & jnp.int32(~7)
+    off = rowstart - row0
     flat = binary_flat.reshape(b * tdim, d).astype(jnp.bfloat16)
-    # windows near the padded tail read past the array: m_seg - 1
-    # zero rows keep every DMA in bounds (those cells are outside
+    # windows near the padded tail read past the array: pad to an
+    # 8-row multiple covering row0 + m_dma (those cells are outside
     # seg_len and masked by the DP)
+    r_pad = -(-(b * tdim + m_dma) // 8) * 8
     flat = jnp.concatenate(
-        [flat, jnp.zeros((m_seg, d), flat.dtype)]
+        [flat, jnp.zeros((r_pad - b * tdim, d), flat.dtype)]
     )
     w16 = w_rows.reshape(w_rows.shape[0], num_rows, d).astype(
         jnp.bfloat16
     )
     safe = jnp.clip(ids.reshape(-1), 0, w_rows.shape[0] - 1)
-    llr = pair_llr_pallas(
-        flat, w16, rowstart, safe, m_seg,
+    llr_ext = pair_llr_pallas(
+        flat, w16, row0 >> 3, safe, m_dma,
         interpret=not use_pallas or None,
-    )                                              # [B*P, L, m_seg]
+    )                                              # [B*P, L, m_dma]
+    llr = jax.vmap(
+        lambda a, o: lax.dynamic_slice(
+            a, (jnp.int32(0), o), (num_rows, m_pad)
+        )
+    )(llr_ext, off)                                # [B*P, L, m_pad]
     llr = llr + jnp.take(
         c_rows.astype(jnp.float32), safe, axis=0
     )[:, :, None]

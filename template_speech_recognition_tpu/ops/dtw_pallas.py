@@ -500,12 +500,17 @@ def _pair_llr_kernel(rowstart_ref, ids_ref, feats_ref, w_ref, out_ref,
     HBM except the small [N, L, m] cost output."""
     i = pl.program_id(0)
 
+    m8 = m // 8
+
     def dma_pair(j, slot):
+        # rowstart_ref holds 8-row TILE indices (Mosaic must prove the
+        # HBM slice offset is tile-aligned; runtime values cannot be
+        # proven, so feats arrive pre-viewed as [R/8, 8, D])
         pair = i * bp + j
-        row = rowstart_ref[pair]
+        row8 = rowstart_ref[pair]
         kid = ids_ref[pair]
         seg = pltpu.make_async_copy(
-            feats_ref.at[pl.ds(row, m)], seg_buf.at[slot],
+            feats_ref.at[pl.ds(row8, m8)], seg_buf.at[slot],
             sems.at[slot, 0],
         )
         wv = pltpu.make_async_copy(
@@ -528,17 +533,19 @@ def _pair_llr_kernel(rowstart_ref, ids_ref, feats_ref, w_ref, out_ref,
         # re-constructing the copy descriptors waits on the same
         # semaphores the started copies signal
         pair = i * bp + j
-        row = rowstart_ref[pair]
+        row8 = rowstart_ref[pair]
         kid = ids_ref[pair]
         pltpu.make_async_copy(
-            feats_ref.at[pl.ds(row, m)], seg_buf.at[slot],
+            feats_ref.at[pl.ds(row8, m8)], seg_buf.at[slot],
             sems.at[slot, 0],
         ).wait()
         pltpu.make_async_copy(
             w_ref.at[kid], w_buf.at[slot], sems.at[slot, 1],
         ).wait()
+        d = w_buf.shape[-1]
+        seg = seg_buf[slot].reshape(m, d)          # trivial collapse
         out_ref[j] = jax.lax.dot_general(
-            w_buf[slot], seg_buf[slot],
+            w_buf[slot], seg,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                          # [L, m]
@@ -550,30 +557,36 @@ def _pair_llr_kernel(rowstart_ref, ids_ref, feats_ref, w_ref, out_ref,
 @functools.partial(jax.jit, static_argnames=("m", "block_pairs",
                                              "interpret"))
 def pair_llr_pallas(
-    feats_flat: jnp.ndarray,   # [R, D] bf16 (pad >= max(rowstart)+m rows)
+    feats_flat: jnp.ndarray,   # [R, D] bf16, R % 8 == 0,
+                               # R >= max(rowstart8)*8 + m
     w: jnp.ndarray,            # [K, L, D] bf16
-    rowstart: jnp.ndarray,     # [N] int32 flat feature-row starts
+    rowstart8: jnp.ndarray,    # [N] int32 flat row starts / 8 (aligned)
     ids: jnp.ndarray,          # [N] int32 template ids
-    m: int,
-    block_pairs: int = 8,
+    m: int,                    # window rows, % 8 == 0
+    block_pairs: int = 16,
     interpret: bool | None = None,
 ) -> jnp.ndarray:              # [N, L, m] f32
     """LLR cost tiles for verify-the-winner DTW (see _pair_llr_kernel).
     N pads internally to the block size (extra pairs replay pair 0 and
-    are sliced off)."""
+    are sliced off).  Row starts arrive in 8-row tile units (callers
+    copy from the aligned floor and shift columns afterwards)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    n = rowstart.shape[0]
+    n = rowstart8.shape[0]
     k, length, d = w.shape
+    r = feats_flat.shape[0]
+    if m % 8 or r % 8:
+        raise ValueError(f"m={m} and R={r} must be multiples of 8")
     bp = block_pairs
     n_pad = _round_up(n, bp)
-    rowstart = rowstart.astype(jnp.int32)
+    rowstart8 = rowstart8.astype(jnp.int32)
     ids = jnp.clip(ids.astype(jnp.int32), 0, k - 1)
     if n_pad != n:
-        rowstart = jnp.concatenate(
-            [rowstart, jnp.zeros(n_pad - n, jnp.int32)]
+        rowstart8 = jnp.concatenate(
+            [rowstart8, jnp.zeros(n_pad - n, jnp.int32)]
         )
         ids = jnp.concatenate([ids, jnp.zeros(n_pad - n, jnp.int32)])
+    feats8 = feats_flat.reshape(r // 8, 8, d)
     out = pl.pallas_call(
         functools.partial(_pair_llr_kernel, bp=bp, m=m),
         grid=(n_pad // bp,),
@@ -587,7 +600,7 @@ def pair_llr_pallas(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, length, m), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, m, d), feats_flat.dtype),
+            pltpu.VMEM((2, m // 8, 8, d), feats_flat.dtype),
             pltpu.VMEM((2, length, d), w.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
@@ -595,7 +608,7 @@ def pair_llr_pallas(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(rowstart, ids, feats_flat, w)
+    )(rowstart8, ids, feats8, w)
     return out[:n]
 
 

@@ -113,7 +113,7 @@ def _kernel_q(xr_ref, xi_ref, w2_ref, sc_ref, out_ref, acc_ref,
 
     @pl.when(c == pl.num_programs(1) - 1)
     def _flush():
-        y = acc_ref[:, :].astype(jnp.float32) * sc_ref[0][None, :]
+        y = acc_ref[:, :].astype(jnp.float32) * sc_ref[0, 0][None, :]
         out_ref[:, 0, :, :] = (
             y.reshape(2, m, out_ref.shape[-1])
         ).astype(out_ref.dtype)
@@ -181,14 +181,19 @@ def fft_binmm_pallas(
         ),
     ]
     if quant:
+        # Mosaic wants the block's second-minor dim 8-aligned: carry
+        # the per-bin scale row as an 8-row broadcast (tiny)
         in_specs.append(
-            pl.BlockSpec((1, k), lambda f, c: (f, 0),
+            pl.BlockSpec((1, 8, k), lambda f, c: (f, 0, 0),
                          memory_space=pltpu.VMEM)
         )
         kernel = functools.partial(_kernel_q, nd=nd, m=m)
         out_dtype = jnp.bfloat16
         acc_dtype = jnp.int32
-        operands = (xr, xi, w2, sc.astype(jnp.float32))
+        sc8 = jnp.broadcast_to(
+            sc.astype(jnp.float32)[:, None, :], (bins, 8, k)
+        )
+        operands = (xr, xi, w2, sc8)
     else:
         kernel = functools.partial(_kernel, nd=nd, m=m)
         out_dtype = xr.dtype
