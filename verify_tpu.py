@@ -458,6 +458,58 @@ def check_int8_binmm() -> dict:
     }
 
 
+def check_pair_llr_fused() -> dict:
+    """Round-5 fused DMA-gather rescore: scores straight from the
+    feature map == pairwise scores over explicitly gathered
+    segments/filters (bf16 operands both sides), compiled."""
+    import jax.numpy as jnp
+    from template_speech_recognition_tpu.align.dtw import (
+        dtw_pairwise_scores,
+        dtw_pairwise_scores_from_map,
+    )
+
+    rng = np.random.default_rng(13)
+    b, t, k, length, d = 2, 96, 7, 8, 256
+    m_seg, band, p = 12, 3, 5
+    binary = jnp.asarray((rng.random((b, t, d)) < 0.3).astype(np.float32))
+    times = jnp.asarray(rng.integers(0, t - 1, (b, p)), jnp.int32)
+    ids = jnp.asarray(rng.integers(0, k, (b, p)), jnp.int32)
+    w = jnp.asarray(rng.normal(size=(k, length, d)).astype(np.float32))
+    c_rows = jnp.asarray(rng.normal(size=(k, length)).astype(np.float32))
+    vf = jnp.asarray([t, t - 9], jnp.int32)
+    got = np.asarray(
+        dtw_pairwise_scores_from_map(
+            binary, times, ids, w, c_rows, vf, m_seg, band
+        )
+    )
+    idx = np.clip(
+        np.asarray(times)[:, :, None] + np.arange(m_seg)[None, None],
+        0, t - 1,
+    )
+    segs = np.stack([np.asarray(binary)[i][idx[i]] for i in range(b)])
+    lens = np.clip(np.asarray(vf)[:, None] - np.asarray(times), 1, m_seg)
+    wk = np.asarray(w)[np.asarray(ids).reshape(-1)]
+    ck = np.asarray(c_rows)[np.asarray(ids).reshape(-1)]
+    want = np.asarray(
+        dtw_pairwise_scores(
+            jnp.asarray(segs.reshape(b * p, m_seg, d), jnp.bfloat16),
+            jnp.asarray(lens.reshape(-1), jnp.int32),
+            jnp.asarray(wk, jnp.bfloat16),
+            jnp.asarray(ck), band, use_pallas=True,
+        )
+    ).reshape(b, p)
+    finite = np.isfinite(want)
+    err = (
+        float(np.max(np.abs(got[finite] - want[finite])))
+        if finite.any() else 0.0
+    )
+    ok = bool(
+        np.allclose(got[finite], want[finite], rtol=1e-3, atol=1e-3)
+        and (np.isfinite(got) == finite).all()
+    )
+    return {"kernel": "pair_llr_fused", "ok": ok, "max_abs_err": err}
+
+
 CHECKS = [
     check_frontend_fused,
     check_frontend_mel_fused,
@@ -465,6 +517,7 @@ CHECKS = [
     check_correlation,
     check_dtw,
     check_dtw_packed_layouts,
+    check_pair_llr_fused,
     check_fft_fused_4d,
     check_fft_binmm_3d,
     check_int8_binmm,
