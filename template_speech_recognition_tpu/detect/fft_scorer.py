@@ -361,7 +361,14 @@ def fft_sliding_scores(
         bin_dc = next(c for c in (2048, 1024, 512, 256, 128) if d % c == 0)
         while bin_dc > 128 and not _binmm_vmem_ok(bin_dc, m, k):
             bin_dc //= 2  # keep tiles + accumulator inside VMEM
-        if _binmm_vmem_ok(bin_dc, m, k):
+        # int8 at config-5 bank scale: this toolchain's Mosaic crashes
+        # compiling the quantized kernel above ~4k templates
+        # (tpu_compile_helper exit 1, BANK10K_r05 int8 rows); the XLA
+        # int8 path below works and already wins there
+        pallas_ok = _binmm_vmem_ok(bin_dc, m, k) and (
+            not quant or k <= 4096
+        )
+        if pallas_ok:
             ycat = fft_binmm_pallas(xr, xi, bank.w2, sc=sc, dc=bin_dc)
         else:
             # the shape-independent [2m, K] accumulator alone overruns
