@@ -77,6 +77,10 @@ def _load_config(args):
         cfg = C.override(
             cfg, detect=C.override(cfg.detect, score_backend=args.score_backend)
         )
+    if getattr(args, "int8_spectra", False):
+        cfg = C.override(
+            cfg, detect=C.override(cfg.detect, int8_spectra=True)
+        )
     if getattr(args, "parts", 0):
         cfg = C.override(
             cfg, parts=C.override(cfg.parts, enabled=True,
@@ -330,6 +334,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "verify-the-winner (constant in bank size)")
     d.add_argument("--dtw-rescore", action="store_true",
                    help="config 4: DTW-rescore the top-K peaks")
+    d.add_argument("--int8-spectra", action="store_true",
+                   help="int8-quantized template spectra (config-5 "
+                        "bank scale; half the HBM stream)")
     d.add_argument("--exact", action="store_true",
                    help="int32 fixed-point scoring (bit-parity path)")
     d.add_argument("--score-backend", default=None,

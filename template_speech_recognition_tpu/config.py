@@ -84,6 +84,11 @@ class DetectConfig:
     # L = 32).  The pipeline auto-falls-back to conv for parts-coded
     # features and the bit-parity path.  conv | fft | pallas.
     score_backend: str = "fft"
+    # Config-5 bank scale: int8-quantized template spectra (half the
+    # HBM stream; scores within ~1e-2 of f32 -- see
+    # docs/PERFORMANCE.md round 5 and BANK10K_r05.json; best K=10k
+    # throughput).  Applies to the fft backend on accelerators.
+    int8_spectra: bool = False
     batch_size: int = 8            # utterances per jitted scan step
 
     def effective_top_k(self, pad_samples: int, sample_rate: int) -> int:

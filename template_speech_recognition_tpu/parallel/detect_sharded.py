@@ -81,6 +81,7 @@ def sharded_scan_step(
     w_rows,                       # dtw: [K_pad, L, D] bank-sharded | dummy
     c_rows,                       # dtw: [K_pad, L] bank-sharded | dummy
     parts=None,                   # parts dict [J, pt, pf, E] | None
+    w2_scale=None,                # int8 spectra: [bins, K_pad] | dummy
     *,
     mesh: Mesh,
     fcfg,
@@ -158,7 +159,7 @@ def sharded_scan_step(
             "multiple shards"
         )
 
-    def body(feats_l, vf_l, w2_l, w_l, c_l, wr_l, cr_l):
+    def body(feats_l, vf_l, w2_l, w_l, c_l, wr_l, cr_l, w2s_l):
         # feats_l [B_l, T_l, D]; vf_l [B_l]; bank shards over K
         t_l = feats_l.shape[1]
         n_t = lax.axis_size("time")
@@ -178,7 +179,8 @@ def sharded_scan_step(
             )
 
             bank_l = FFTBank(
-                w2=w2_l, c=c_l, length=length, nfft=nfft, d=d
+                w2=w2_l, c=c_l, length=length, nfft=nfft, d=d,
+                w2_scale=w2s_l if w2_l.dtype == jnp.int8 else None,
             )
             scores = fft_sliding_scores(ext, bank_l)[:, :, :t_l]
         elif backend == "exact":
@@ -364,6 +366,9 @@ def sharded_scan_step(
             jnp.where(keep, bi, 0),
         )
 
+    int8_bank = backend == "fft" and w2 is not None and (
+        w2.dtype == jnp.int8
+    )
     fn = shard_map(
         body,
         mesh=mesh,
@@ -375,6 +380,7 @@ def sharded_scan_step(
             P("bank"),
             P("bank", None, None) if dtw else P(),
             P("bank", None) if dtw else P(),
+            P(None, "bank") if int8_bank else P(),
         ),
         out_specs=(P("data", None), P("data", None), P("data", None)),
         check_vma=False,
@@ -394,9 +400,11 @@ def sharded_scan_step(
     dummy2 = jnp.zeros((1, 1), jnp.float32)
     if not dtw:
         w_rows, c_rows = dummy3, dummy2
+    if w2_scale is None:
+        w2_scale = dummy2
     if backend == "fft":
-        return fn(feats, vf, w2, dummy3, c, w_rows, c_rows)
-    return fn(feats, vf, dummy3, w, c, w_rows, c_rows)
+        return fn(feats, vf, w2, dummy3, c, w_rows, c_rows, w2_scale)
+    return fn(feats, vf, dummy3, w, c, w_rows, c_rows, w2_scale)
 
 
 def detect_corpus_sharded(
@@ -493,18 +501,24 @@ def detect_corpus_sharded(
         put_sharded,
     )
 
-    w2 = w = None
+    w2 = w = w2_scale = None
     if backend == "fft":
         from template_speech_recognition_tpu.detect.fft_scorer import (
             build_fft_bank,
         )
 
-        fbank = build_fft_bank(wf, cf)
+        mm = jnp.int8 if dcfg.int8_spectra else None
+        fbank = build_fft_bank(wf, cf, mm_dtype=mm)
         nfft = fbank.nfft
         w2 = put_sharded(
             np.asarray(fbank.w2), NamedSharding(mesh, P(None, None, "bank"))
         )
         c = put_sharded(np.asarray(fbank.c), NamedSharding(mesh, P("bank")))
+        if fbank.w2_scale is not None:
+            w2_scale = put_sharded(
+                np.asarray(fbank.w2_scale),
+                NamedSharding(mesh, P(None, "bank")),
+            )
     else:
         nfft = 0
         dt = np.int32 if backend == "exact" else np.float32
@@ -530,7 +544,7 @@ def detect_corpus_sharded(
         wavs = put_sharded(wavs_np, wav_sh)
         vs = put_sharded(vs_np.astype(np.int32), data_sh)
         return sharded_scan_step(
-            wavs, vs, w2, w, c, w_rows, c_rows, parts_dev,
+            wavs, vs, w2, w, c, w_rows, c_rows, parts_dev, w2_scale,
             mesh=mesh, fcfg=fcfg, backend=backend, length=length,
             nfft=nfft, d=d, nms_radius=dcfg.nms_radius,
             top_k=dcfg.effective_top_k(wavs_np.shape[1], fcfg.sample_rate),

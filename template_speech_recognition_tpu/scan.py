@@ -234,7 +234,8 @@ def detect_corpus_stream(
         )
 
         wf, cf = bank.llr()
-        fft_bank = build_fft_bank(filters_to_flat(wf), cf)
+        mm = jnp.int8 if dcfg.int8_spectra else None
+        fft_bank = build_fft_bank(filters_to_flat(wf), cf, mm_dtype=mm)
     else:
         w, c = bank.llr()
         w = filters_to_flat(w)

@@ -363,3 +363,53 @@ def test_int8_spectra_pallas_kernel_matches_xla():
     np.testing.assert_allclose(
         got, want.astype(np.float32), rtol=1e-2, atol=1e-2
     )
+
+
+def test_int8_spectra_corpus_scan_and_sharded():
+    """DetectConfig.int8_spectra: the streaming scan runs on int8
+    banks and the sharded scan matches it (times/ids identical,
+    scores allclose)."""
+    import oracle as O
+    from template_speech_recognition_tpu.config import (
+        DetectConfig,
+        MeshConfig,
+        PipelineConfig,
+    )
+    from template_speech_recognition_tpu.parallel import build_mesh
+    from template_speech_recognition_tpu.parallel.detect_sharded import (
+        detect_corpus_sharded,
+    )
+    from template_speech_recognition_tpu.pipeline import (
+        SyntheticAdapter,
+        train_bank,
+    )
+    from template_speech_recognition_tpu.scan import detect_corpus_stream
+
+    corpus = SyntheticAdapter(
+        O.make_synthetic_corpus(num_utterances=4, phones_per_utterance=4,
+                                seed=3)
+    )
+    cfg = PipelineConfig(
+        detect=DetectConfig(batch_size=2, int8_spectra=True)
+    )
+    bank = train_bank(corpus, ["aa", "iy"], cfg)
+    ref = detect_corpus_stream(corpus, bank, cfg, target_phone="aa")
+    assert len(ref.detections.scores) > 0
+    mesh = build_mesh(MeshConfig(2, 2, 1))
+    got = detect_corpus_sharded(corpus, bank, cfg, mesh,
+                                target_phone="aa")
+    r, g = ref.detections, got.detections
+    assert len(g.scores) == len(r.scores)
+    order_r = np.lexsort((r.times, r.utterance_ids))
+    order_g = np.lexsort((g.times, g.utterance_ids))
+    np.testing.assert_array_equal(g.times[order_g], r.times[order_r])
+    np.testing.assert_array_equal(
+        g.template_ids[order_g], r.template_ids[order_r]
+    )
+    # both sides re-quantize their block spectra over different
+    # overlap-save extents (halo-extended vs plain), so scores agree
+    # at the int8 quantization scale, not bitwise
+    scale = np.max(np.abs(r.scores)) + 1e-6
+    np.testing.assert_allclose(
+        g.scores[order_g] / scale, r.scores[order_r] / scale, atol=2e-2
+    )
