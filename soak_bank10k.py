@@ -82,7 +82,10 @@ def main() -> None:
     print(f"[bank10k-soak] corpus {n_utts} utts {audio_s/60:.1f} min; "
           f"K={k_total}", file=sys.stderr, flush=True)
 
-    cfg = PipelineConfig(detect=DetectConfig(batch_size=batch))
+    int8 = os.environ.get("SOAK_INT8", "0") == "1"
+    cfg = PipelineConfig(
+        detect=DetectConfig(batch_size=batch, int8_spectra=int8)
+    )
     t0 = time.perf_counter()
     bank = train_bank(corpus, ["aa", "iy"], cfg)
     bank = inflate_bank(bank, k_total)
@@ -161,6 +164,7 @@ def main() -> None:
                    "audio_seconds": round(audio_s, 1)},
         "mesh": [1, 1, 1],
         "batch_size": batch,
+        "int8_spectra": int8,
         "clean_run": {
             "walls_s_per_pass": walls,
             "wall_s": round(wall, 1),
