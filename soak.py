@@ -99,16 +99,20 @@ def main() -> None:
     )
 
     use_dtw = os.environ.get("SOAK_DTW", "0") == "1"
+    use_int8 = os.environ.get("SOAK_INT8", "0") == "1"
     batch = int(os.environ.get("SOAK_BATCH", 32))
     if use_dtw:
         from template_speech_recognition_tpu.config import DTWConfig
 
         cfg = PipelineConfig(
-            detect=DetectConfig(batch_size=batch, dtw_rescore=True),
+            detect=DetectConfig(batch_size=batch, dtw_rescore=True,
+                                int8_spectra=use_int8),
             dtw=DTWConfig(top_r=1),
         )
     else:
-        cfg = PipelineConfig(detect=DetectConfig(batch_size=batch))
+        cfg = PipelineConfig(
+            detect=DetectConfig(batch_size=batch, int8_spectra=use_int8)
+        )
     mesh = build_mesh(MeshConfig(*mesh_shape))
     t0 = time.perf_counter()
     bank = train_bank(corpus, ["aa", "iy"], cfg)
@@ -202,6 +206,7 @@ def main() -> None:
         "batch_size": batch,
         "fetch_group": int(os.environ.get("SCAN_FETCH_GROUP", "8")),
         "upload_int16": os.environ.get("SCAN_UPLOAD_INT16", "0") == "1",
+        "int8_spectra": use_int8,
         "corpus": {
             "utterances": n_utts,
             "audio_seconds": round(audio_s, 1),
@@ -243,7 +248,9 @@ def main() -> None:
         out_name = "SOAK_SHARDED_r05.json"
     else:
         out_name = "SOAK_DTW_r05.json" if use_dtw else "SOAK_r05.json"
-        if out["upload_int16"]:
+        if use_int8:
+            out_name = out_name.replace("SOAK_", "SOAK_KITCHEN_")
+        elif out["upload_int16"]:
             # PCM16 feeding is lossless only for PCM-sourced audio;
             # on the synthetic FLOAT corpus it perturbs near-threshold
             # edge cells and shifts EER, so its run records separately
