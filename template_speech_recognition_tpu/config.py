@@ -87,7 +87,12 @@ class DetectConfig:
     # Config-5 bank scale: int8-quantized template spectra (half the
     # HBM stream; scores within ~1e-2 of f32 -- see
     # docs/PERFORMANCE.md round 5 and BANK10K_r05.json; best K=10k
-    # throughput).  Applies to the fft backend on accelerators.
+    # throughput).  Applies to the fft backend.  Contract nuance: the
+    # block spectra quantize per call over the call's own extent, so
+    # BORDERLINE NMS peaks may differ across shardings (unlike
+    # bf16/f32, where detection decisions are sharding-identical);
+    # matched peaks keep identical winners and quantization-tolerance
+    # scores.
     int8_spectra: bool = False
     batch_size: int = 8            # utterances per jitted scan step
 

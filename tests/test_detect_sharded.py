@@ -225,3 +225,60 @@ def test_sharded_parts_bank_matches_reference(setup, mesh_shape):
     np.testing.assert_allclose(
         g.scores[order_g], r.scores[order_r], rtol=1e-4, atol=1e-3
     )
+
+
+def test_all_features_compose_sharded(monkeypatch):
+    """Round-5 kitchen-sink: DTW top_r=1 + int8 spectra + PCM16
+    upload, sharded vs single-chip (times/ids identical, scores at
+    quantization tolerance) -- the CPU twin of
+    SOAK_KITCHEN_DTW_r05.json."""
+    import oracle as O
+    from template_speech_recognition_tpu.config import (
+        DetectConfig,
+        DTWConfig,
+        MeshConfig,
+        PipelineConfig,
+    )
+    from template_speech_recognition_tpu.parallel import build_mesh
+    from template_speech_recognition_tpu.parallel.detect_sharded import (
+        detect_corpus_sharded,
+    )
+    from template_speech_recognition_tpu.pipeline import (
+        SyntheticAdapter,
+        train_bank,
+    )
+    from template_speech_recognition_tpu.scan import detect_corpus_stream
+
+    corpus = SyntheticAdapter(
+        O.make_synthetic_corpus(num_utterances=4, phones_per_utterance=4,
+                                seed=11)
+    )
+    cfg = PipelineConfig(
+        detect=DetectConfig(batch_size=2, dtw_rescore=True,
+                            int8_spectra=True),
+        dtw=DTWConfig(top_r=1),
+    )
+    bank = train_bank(corpus, ["aa", "iy"], cfg)
+    monkeypatch.setenv("SCAN_UPLOAD_INT16", "1")
+    ref = detect_corpus_stream(corpus, bank, cfg, target_phone="aa")
+    assert len(ref.detections.scores) > 0
+    mesh = build_mesh(MeshConfig(2, 1, 2))
+    got = detect_corpus_sharded(corpus, bank, cfg, mesh,
+                                target_phone="aa")
+    r, g = ref.detections, got.detections
+    # int8 block spectra quantize over different overlap-save extents
+    # per sharding, so a BORDERLINE NMS peak may flip; matched peaks
+    # must agree (ids identical, scores at quantization tolerance)
+    # and the symmetric difference must stay tiny
+    rset = {(int(u), int(t)): (int(k), float(s))
+            for u, t, k, s in zip(r.utterance_ids, r.times,
+                                  r.template_ids, r.scores)}
+    gset = {(int(u), int(t)): (int(k), float(s))
+            for u, t, k, s in zip(g.utterance_ids, g.times,
+                                  g.template_ids, g.scores)}
+    common = set(rset) & set(gset)
+    assert len(common) >= max(len(rset), len(gset)) - 2
+    scale = np.max(np.abs(r.scores)) + 1e-6
+    for key in common:
+        assert rset[key][0] == gset[key][0], key
+        assert abs(rset[key][1] - gset[key][1]) / scale < 2e-2, key
